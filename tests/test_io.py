@@ -1,0 +1,77 @@
+import os
+
+from unicore_tpu.io import fasta
+from unicore_tpu.io.mapfile import hashed_name, sanitize_header
+from unicore_tpu.io.seqdb import SeqDB, concatdbs, mvdb, read_db, rmdb
+from unicore_tpu.runtime import checkpoint as chkpnt
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = str(tmp_path / "x.fasta")
+    data = {"seq1 desc": "ACDEFG", "seq2": "KLMNPQ"}
+    fasta.write_fasta(p, data)
+    assert fasta.read_fasta(p) == data
+
+
+def test_fasta_multiline_and_dup(tmp_path):
+    p = str(tmp_path / "x.fasta")
+    with open(p, "w") as f:
+        f.write(">a\nAC\nDE\n>a\nGG\n>b\nKK\n")
+    out = fasta.read_fasta(p)
+    # duplicate headers: last wins (HashMap insert semantics)
+    assert out == {"a": "GG", "b": "KK"}
+
+
+def test_sanitize_header():
+    assert sanitize_header("sp|P1|X OS=A (b)/c;d:e,f=g") == "sp|P1|X_OS_A__b__c_d_e_f_g"
+
+
+def test_hashed_name():
+    # md5("MIRG")[:10]; name scheme from createdb.rs:104-106
+    import hashlib
+    h = hashlib.md5(b"MIRG").hexdigest()[:10]
+    assert hashed_name("MIRG") == f"unicore_{h}"
+    assert len(hashed_name("MIRG")) == len("unicore_") + 10
+
+
+def test_seqdb_roundtrip(tmp_path):
+    db_path = str(tmp_path / "db" / "proteome_db")
+    db = SeqDB(
+        names=["unicore_aaa", "unicore_bbb"],
+        aa_seqs=["ACDEF", "KLMNP"],
+        ss_seqs=["DDDDD", "VVVVV"],
+    )
+    db.write(db_path)
+    back = SeqDB.read(db_path)
+    assert back.names == db.names
+    assert back.aa_seqs == db.aa_seqs
+    assert back.ss_seqs == db.ss_seqs
+    # raw layout matches the reference's reader expectations (NUL-separated)
+    raw = open(db_path, "rb").read()
+    assert raw == b"ACDEF\n\x00KLMNP\n\x00"
+    assert read_db(db_path) == ["ACDEF", "KLMNP"]
+
+
+def test_seqdb_utils(tmp_path):
+    a = str(tmp_path / "a_db")
+    b = str(tmp_path / "b_db")
+    SeqDB(names=["n1"], aa_seqs=["AA"], ss_seqs=["DD"]).write(a)
+    SeqDB(names=["n2"], aa_seqs=["CC"], ss_seqs=["VV"]).write(b)
+    out = str(tmp_path / "m_db")
+    concatdbs(a, b, out)
+    merged = SeqDB.read(out)
+    assert merged.names == ["n1", "n2"]
+    mv = str(tmp_path / "moved_db")
+    mvdb(out, mv)
+    assert SeqDB.read(mv).aa_seqs == ["AA", "CC"]
+    rmdb(mv)
+    assert not os.path.exists(mv)
+
+
+def test_checkpoint(tmp_path):
+    p = str(tmp_path / "stage.chk")
+    chkpnt.write_checkpoint(p, "0")
+    assert not chkpnt.is_done(p)
+    chkpnt.write_checkpoint(p, "1")
+    assert chkpnt.is_done(p)
+    assert chkpnt.read_checkpoint(p) == "1"
