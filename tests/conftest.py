@@ -1,13 +1,32 @@
-"""Test configuration: force CPU backend with 8 virtual devices so that
-multi-chip sharding paths compile and run without TPU hardware."""
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding paths compile and run without TPU hardware.
+
+The environment may carry an `axon` TPU-tunnel plugin whose sitecustomize
+force-updates jax_platforms at interpreter start (overriding the
+JAX_PLATFORMS env var), so we override back at the jax.config level and
+clear any already-initialized backends.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("UNICORE_TPU_MOCK_PROSTT5", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+except Exception:  # pragma: no cover - defensive against jax internals drift
+    pass
 
 import pytest  # noqa: E402
 

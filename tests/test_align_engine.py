@@ -1,0 +1,112 @@
+"""Alignment engine + prefilter + clustering tests (CPU, XLA backend)."""
+
+import numpy as np
+import pytest
+
+from unicore_tpu.align.clustering import connected_components, greedy_set_cover, write_cluster_tsv
+from unicore_tpu.align.engine import AlignParams, AlignmentEngine, encode_db
+from unicore_tpu.align.prefilter import candidate_pairs
+from unicore_tpu.align.stats import combined_lambda, evalue
+
+
+def _params(**kw):
+    kw.setdefault("backend", "xla")
+    kw.setdefault("batch_size", 64)
+    return AlignParams(**kw)
+
+
+def test_align_params_from_options():
+    p = AlignParams.from_options("-c 0.8 -e 1e-5 --min-seq-id 0.3 --cov-mode 1")
+    assert p.coverage == 0.8
+    assert p.evalue == 1e-5
+    assert p.min_seq_id == 0.3
+    assert p.cov_mode == 1
+
+
+def test_engine_self_alignment_full_coverage():
+    aa = ["MIRGGDIAKGTVLLHKGAPYLVVEREFVNPGKGAAFARVKMK"]
+    ss = ["DDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDD"]
+    q_aa, q_ss = encode_db(aa, ss)
+    eng = AlignmentEngine(_params())
+    hits = eng.align_pairs(q_aa, q_ss, q_aa, q_ss, [(0, 0)])
+    assert len(hits) == 1
+    h = hits[0]
+    L = len(aa[0])
+    assert (h.qstart, h.qend, h.tstart, h.tend) == (0, L - 1, 0, L - 1)
+    qlen = np.array([L])
+    kept = eng.gate(hits, qlen, qlen)
+    assert len(kept) == 1
+
+
+def test_engine_homologous_fragment():
+    # target contains query's middle section -> partial coverage of target
+    core = "MIRGGDIAKGTVLLHKGAPYLVVEREFVNPGKGAAFARVKMK"
+    ss_core = "DVDVDVDVLLKKPQRSTVWYACDEFGHIKLMNPQRSTVWYAC"
+    q = core
+    t = "WWWWWWWW" + core + "YYYYYYYY"
+    tss = "AAAAAAAA" + ss_core + "CCCCCCCC"
+    q_aa, q_ss = encode_db([q], [ss_core])
+    t_aa, t_ss = encode_db([t], [tss])
+    eng = AlignmentEngine(_params())
+    hits = eng.align_pairs(q_aa, q_ss, t_aa, t_ss, [(0, 0)])
+    h = hits[0]
+    assert (h.qstart, h.qend) == (0, len(q) - 1)
+    assert (h.tstart, h.tend) == (8, 8 + len(core) - 1)
+    # traceback fills identity 1.0
+    eng.traceback_fill([h], q_aa, q_ss, t_aa, t_ss)
+    assert h.fident == pytest.approx(1.0)
+    assert h.alnlen == len(core)
+    assert h.mismatch == 0 and h.gapopen == 0
+
+
+def test_prefilter_finds_homologs():
+    rng = np.random.RandomState(3)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    tdi = "ACDEFGHIKLMNPQRSTVWY"
+    base_aa = "".join(rng.choice(list(letters), 80))
+    base_ss = "".join(rng.choice(list(tdi), 80))
+    seqs_aa, seqs_ss = [], []
+    for i in range(6):
+        if i < 3:  # family A: mutated copies of base
+            s = list(base_aa)
+            for _ in range(4):
+                s[rng.randint(80)] = rng.choice(list(letters))
+            seqs_aa.append("".join(s))
+            seqs_ss.append(base_ss)
+        else:  # unrelated
+            seqs_aa.append("".join(rng.choice(list(letters), 80)))
+            seqs_ss.append("".join(rng.choice(list(tdi), 80)))
+    pairs = candidate_pairs(seqs_aa, seqs_ss, min_shared=2)
+    pairset = set(pairs)
+    assert (0, 1) in pairset and (0, 2) in pairset and (1, 2) in pairset
+
+
+def test_greedy_set_cover():
+    # star around 0, pair (3,4), isolated 5
+    clusters = greedy_set_cover(6, [(0, 1), (0, 2), (3, 4)])
+    assert clusters[0] == [0, 1, 2]
+    assert clusters[3] == [3, 4]
+    assert clusters[5] == [5]
+
+
+def test_connected_components():
+    comps = connected_components(5, [(0, 1), (1, 2), (3, 4)])
+    assert comps[0] == [0, 1, 2]
+    assert comps[3] == [3, 4]
+
+
+def test_write_cluster_tsv(tmp_path):
+    p = str(tmp_path / "clust.tsv")
+    write_cluster_tsv(p, {0: [0, 1], 2: [2]}, ["a", "b", "c"])
+    assert open(p).read() == "a\ta\na\tb\nc\tc\n"
+
+
+def test_evalue_monotone():
+    from unicore_tpu.matrices import BLOSUM62, default_3di_matrix
+    saa = BLOSUM62.astype(float)
+    s3d = default_3di_matrix().astype(float)
+    lam = combined_lambda(saa[:20, :20], s3d[:20, :20], 1.4, 2.1)
+    assert 0.001 < lam < 1.0
+    e1 = evalue(np.array([50.0]), 300, 1e6, lam)
+    e2 = evalue(np.array([100.0]), 300, 1e6, lam)
+    assert e2 < e1

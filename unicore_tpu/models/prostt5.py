@@ -1,0 +1,349 @@
+"""ProstT5 AA->3Di translation as a JAX T5 encoder + CNN head.
+
+Replaces `foldseek createdb --prostt5-model` (createdb.rs:158-166): every
+amino-acid sequence is translated to an equal-length 3Di string.  The
+network is the ProstT5 architecture (ProtT5-XL encoder: 24 layers,
+d_model 1024, 32 heads with d_kv 128, d_ff 16384, T5 relative-position
+buckets, RMSNorm, gated-gelu-free wi/wo FFN) followed by the 2-layer
+residue-wise CNN head (1024 -> 32 -> 20, kernel 7) that predicts 3Di
+states.
+
+TPU-first design decisions:
+  * bfloat16 activations/weights, float32 logits
+  * length-bucketed batches, padded to (8, 128) friendly shapes
+  * data parallel over the batch axis and tensor parallel over heads /
+    d_ff via jax.sharding (see unicore_tpu.parallel) — one jit, XLA
+    inserts the collectives
+  * weights load from a HuggingFace ProstT5 checkpoint directory
+    (safetensors / pytorch_model.bin via torch-cpu) or an .npz export;
+    without weights (offline) a seeded deterministic initialization is
+    used so the full pipeline remains runnable (and the `mock` backend
+    stays the recommended offline test path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unicore_tpu.alphabets import TDI_ALPHABET, encode_aa
+from unicore_tpu.runtime import errors as err
+from unicore_tpu.runtime import logging as msg
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab: int = 25           # 20 AA + X + specials
+    d_model: int = 1024
+    d_kv: int = 128
+    n_heads: int = 32
+    d_ff: int = 16384
+    n_layers: int = 24
+    rel_buckets: int = 32
+    rel_max_dist: int = 128
+    n_classes: int = 20       # 3Di states
+    cnn_hidden: int = 32
+    cnn_kernel: int = 7
+
+    @classmethod
+    def small(cls) -> "T5Config":
+        """Reduced config for compile checks / tests."""
+        return cls(d_model=256, d_kv=32, n_heads=8, d_ff=1024, n_layers=4)
+
+
+# ---------------------------------------------------------------------------
+# parameter init / loading
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: T5Config, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
+    rng = np.random.RandomState(seed)
+
+    def mat(*shape, scale=None):
+        scale = scale or (1.0 / math.sqrt(shape[0]))
+        return (rng.randn(*shape) * scale).astype(np.float32)
+
+    params: Dict = {
+        "embed": mat(cfg.vocab, cfg.d_model, scale=1.0),
+        "rel_bias": mat(cfg.rel_buckets, cfg.n_heads, scale=0.1),
+        "final_ln": np.ones(cfg.d_model, np.float32),
+        "layers": [],
+        "cnn": {
+            "w1": mat(cfg.cnn_kernel, cfg.d_model, cfg.cnn_hidden),
+            "b1": np.zeros(cfg.cnn_hidden, np.float32),
+            "w2": mat(cfg.cnn_kernel, cfg.cnn_hidden, cfg.n_classes),
+            "b2": np.zeros(cfg.n_classes, np.float32),
+        },
+    }
+    inner = cfg.n_heads * cfg.d_kv
+    for _ in range(cfg.n_layers):
+        params["layers"].append(
+            {
+                "ln1": np.ones(cfg.d_model, np.float32),
+                "q": mat(cfg.d_model, inner),
+                "k": mat(cfg.d_model, inner),
+                "v": mat(cfg.d_model, inner),
+                "o": mat(inner, cfg.d_model),
+                "ln2": np.ones(cfg.d_model, np.float32),
+                "wi0": mat(cfg.d_model, cfg.d_ff),  # gated-gelu: wi_0 (gate)
+                "wi1": mat(cfg.d_model, cfg.d_ff),  # wi_1 (linear)
+                "wo": mat(cfg.d_ff, cfg.d_model),
+            }
+        )
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+
+
+def load_params(model_dir: str, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
+    """Load from an HF ProstT5 checkpoint dir or our own .npz export."""
+    npz = os.path.join(model_dir, "prostt5_tpu.npz")
+    if os.path.isfile(npz):
+        raw = np.load(npz)
+        params = init_params(cfg, dtype=dtype)
+        flat = {k: jnp.asarray(v, dtype) for k, v in raw.items()}
+        return _unflatten_into(params, flat)
+
+    tensors = _load_hf_tensors(model_dir)
+    if tensors is None:
+        return None
+
+    def t(name):
+        v = tensors.get(name)
+        return None if v is None else np.asarray(v, np.float32)
+
+    p: Dict = {}
+    p["embed"] = t("shared.weight")[: cfg.vocab]
+    p["rel_bias"] = t(
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    )
+    p["final_ln"] = t("encoder.final_layer_norm.weight")
+    p["layers"] = []
+    for i in range(cfg.n_layers):
+        pre = f"encoder.block.{i}.layer"
+        p["layers"].append(
+            {
+                "ln1": t(f"{pre}.0.layer_norm.weight"),
+                "q": t(f"{pre}.0.SelfAttention.q.weight").T,
+                "k": t(f"{pre}.0.SelfAttention.k.weight").T,
+                "v": t(f"{pre}.0.SelfAttention.v.weight").T,
+                "o": t(f"{pre}.0.SelfAttention.o.weight").T,
+                "ln2": t(f"{pre}.1.layer_norm.weight"),
+                "wi0": t(f"{pre}.1.DenseReluDense.wi_0.weight").T,
+                "wi1": t(f"{pre}.1.DenseReluDense.wi_1.weight").T,
+                "wo": t(f"{pre}.1.DenseReluDense.wo.weight").T,
+            }
+        )
+    # CNN head (foldseek's prostt5 CNN checkpoint layout)
+    cnn_w1 = t("classifier.0.weight")  # (32, 1024, 7, 1) torch conv2d
+    if cnn_w1 is not None:
+        p["cnn"] = {
+            "w1": np.transpose(cnn_w1[..., 0], (2, 1, 0)),  # (7, 1024, 32)
+            "b1": t("classifier.0.bias"),
+            "w2": np.transpose(t("classifier.3.weight")[..., 0], (2, 1, 0)),
+            "b2": t("classifier.3.bias"),
+        }
+    else:
+        p["cnn"] = jax.tree_util.tree_map(
+            np.asarray, init_params(T5Config(), 0, jnp.float32)["cnn"]
+        )
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), p)
+
+
+def _load_hf_tensors(model_dir: str) -> Optional[Dict[str, np.ndarray]]:
+    st_files = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")] if os.path.isdir(model_dir) else []
+    if st_files:
+        from safetensors.numpy import load_file
+        out = {}
+        for f in sorted(st_files):
+            out.update(load_file(os.path.join(model_dir, f)))
+        return out
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.isfile(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.float().numpy() for k, v in sd.items()}
+    return None
+
+
+def _unflatten_into(template: Dict, flat: Dict) -> Dict:
+    out = jax.tree_util.tree_map(lambda x: x, template)
+    for k, v in flat.items():
+        node = out
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node[int(p) if p.isdigit() else p]
+        node[parts[-1] if not parts[-1].isdigit() else int(parts[-1])] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# forward pass
+# ---------------------------------------------------------------------------
+
+def _rmsnorm(x, w, eps=1e-6):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rel_bucket(rel_pos, n_buckets=32, max_dist=128):
+    """T5 bidirectional relative position bucketing."""
+    num = n_buckets // 2
+    ret = jnp.where(rel_pos > 0, num, 0)
+    n = jnp.abs(rel_pos)
+    max_exact = num // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(max_dist / max_exact)
+        * (num - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+def encoder_forward(params: Dict, cfg: T5Config, tokens: jnp.ndarray, mask: jnp.ndarray):
+    """tokens (B, L) int32; mask (B, L) bool. Returns (B, L, d_model)."""
+    B, L = tokens.shape
+    x = params["embed"][tokens]  # (B, L, D)
+
+    pos = jnp.arange(L)
+    rel = pos[None, :] - pos[:, None]  # (L, L) memory positions - query
+    buckets = _rel_bucket(rel, cfg.rel_buckets, cfg.rel_max_dist)
+    bias = params["rel_bias"][buckets]  # (L, L, H)
+    bias = jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, L, L)
+    neg = jnp.asarray(-1e9, jnp.float32)
+    attn_mask = jnp.where(mask[:, None, None, :], 0.0, neg)  # (B, 1, 1, L)
+
+    for lp in params["layers"]:
+        # self-attention
+        h = _rmsnorm(x, lp["ln1"])
+        q = h @ lp["q"]
+        k = h @ lp["k"]
+        v = h @ lp["v"]
+        q = q.reshape(B, L, cfg.n_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, cfg.n_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, cfg.n_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores + bias.astype(jnp.float32) + attn_mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        x = x + ctx @ lp["o"]
+
+        # FFN (gated gelu, T5 v1.1 style used by ProtT5)
+        h = _rmsnorm(x, lp["ln2"])
+        g = jax.nn.gelu(h @ lp["wi0"], approximate=True)
+        u = h @ lp["wi1"]
+        x = x + (g * u) @ lp["wo"]
+
+    return _rmsnorm(x, params["final_ln"])
+
+
+def cnn_head(params: Dict, cfg: T5Config, x: jnp.ndarray) -> jnp.ndarray:
+    """Residue-wise conv head: (B, L, D) -> (B, L, n_classes) logits."""
+    c = params["cnn"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        c["w1"].astype(jnp.float32),  # (K, D, H)
+        window_strides=(1,),
+        padding=[(cfg.cnn_kernel // 2, cfg.cnn_kernel // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + c["b1"].astype(jnp.float32)
+    y = jax.nn.relu(y)
+    y = jax.lax.conv_general_dilated(
+        y,
+        c["w2"].astype(jnp.float32),
+        window_strides=(1,),
+        padding=[(cfg.cnn_kernel // 2, cfg.cnn_kernel // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + c["b2"].astype(jnp.float32)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def predict_3di_codes(params: Dict, cfg: T5Config, tokens: jnp.ndarray, mask: jnp.ndarray):
+    h = encoder_forward(params, cfg, tokens, mask)
+    logits = cnn_head(params, cfg, h)
+    return jnp.argmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+def _bucket_len(n: int) -> int:
+    b = 128
+    while b < n:
+        b += 128
+    return b
+
+
+class ProstT5Engine:
+    """Batched AA->3Di inference engine."""
+
+    name = "prostt5-jax"
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        cfg: Optional[T5Config] = None,
+        batch_tokens: int = 64 * 512,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or T5Config()
+        self.params = None
+        self.loaded_pretrained = False
+        if model_dir and os.path.isdir(model_dir):
+            p = load_params(model_dir, self.cfg)
+            if p is not None:
+                self.params = p
+                self.loaded_pretrained = True
+        if self.params is None:
+            if model_dir and model_dir not in ("random", "mock"):
+                msg.println_message(
+                    f"Warning: no loadable ProstT5 weights under '{model_dir}'; "
+                    "using seeded random initialization (offline build). "
+                    "Predictions are deterministic but not ProstT5-accurate; "
+                    "use model='mock' for the supported offline backend.", 2,
+                )
+            self.params = init_params(self.cfg, seed=seed)
+        self.batch_tokens = batch_tokens
+
+    def predict(self, sequences: List[str]) -> List[str]:
+        tdi = np.frombuffer(TDI_ALPHABET.encode(), dtype=np.uint8)
+        out: List[Optional[str]] = [None] * len(sequences)
+        order = sorted(range(len(sequences)), key=lambda i: len(sequences[i]))
+        i = 0
+        while i < len(order):
+            L = _bucket_len(len(sequences[order[i]]))
+            bs = max(8, min(512, self.batch_tokens // L))
+            chunk = order[i : i + bs]
+            # keep the chunk within this length bucket
+            chunk = [j for j in chunk if len(sequences[j]) <= L]
+            i += len(chunk)
+            B = len(chunk)
+            Bp = ((B + 7) // 8) * 8
+            toks = np.full((Bp, L), 20, dtype=np.int32)  # X padding
+            mask = np.zeros((Bp, L), dtype=bool)
+            for r, j in enumerate(chunk):
+                codes = encode_aa(sequences[j])
+                toks[r, : len(codes)] = codes
+                mask[r, : len(codes)] = True
+            codes3 = np.asarray(
+                predict_3di_codes(self.params, self.cfg, jnp.asarray(toks), jnp.asarray(mask))
+            )
+            for r, j in enumerate(chunk):
+                n = len(sequences[j])
+                out[j] = tdi[codes3[r, :n]].tobytes().decode()
+        return out  # type: ignore[return-value]
+
+    def probe(self) -> bool:
+        r = self.predict(["ACDEFGHIKL"])
+        return len(r) == 1 and len(r[0]) == 10

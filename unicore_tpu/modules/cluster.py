@@ -1,0 +1,83 @@
+"""cluster — all-vs-all structural clustering.
+
+Pipeline contract of modules/cluster.rs:9-83:
+  * input: seqdb triplet; options string (default "-c 0.8")
+  * output: `{output}.tsv` with "representative\tmember" lines grouped by
+    representative (the foldseek cluster + createtsv composition), plus an
+    intermediate `{output}_cluster` db kept only with --keep
+  * checkpoints cluster.chk ("0" start, "1" done) in the output's parent
+
+Compute: TPU engine — hashed k-mer prefilter (MXU matmul), batched
+prefix-scan Smith-Waterman (Pallas kernel), coverage/E-value gating,
+greedy set cover.
+"""
+
+from __future__ import annotations
+
+import os
+
+from unicore_tpu.align.clustering import greedy_set_cover, write_cluster_tsv
+from unicore_tpu.align.engine import AlignParams, AlignmentEngine, encode_db
+from unicore_tpu.align.prefilter import candidate_pairs
+from unicore_tpu.io.seqdb import SeqDB
+from unicore_tpu.runtime import checkpoint as chkpnt
+from unicore_tpu.runtime import errors as err
+from unicore_tpu.runtime import logging as msg
+
+import numpy as np
+
+
+def cluster_db(db: SeqDB, params: AlignParams):
+    """Run the clustering compute; returns ({rep: members}, hits)."""
+    n = len(db)
+    if not db.has_ss:
+        err.error(err.ERR_DB_INVALID, "3Di sequences required for structural clustering")
+
+    msg.print_message("Prefiltering candidate pairs...", 3)
+    pairs = candidate_pairs(
+        db.aa_seqs, db.ss_seqs,
+        min_shared=params.min_shared_kmers,
+        coverage=params.coverage if params.cov_mode == 0 else 0.0,
+    )
+    msg.println_message(f" {len(pairs)} pairs from {n * (n - 1) // 2}", 3)
+
+    q_aa, q_ss = encode_db(db.aa_seqs, db.ss_seqs)
+    engine = AlignmentEngine(params)
+    msg.print_message("Aligning candidate pairs...", 3)
+    hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
+    msg.println_message(" Done", 3)
+
+    qlen = np.array([len(a) for a in q_aa])
+    kept = engine.gate(hits, qlen, qlen)
+    edges = [(h.qidx, h.tidx) for h in kept]
+    clusters = greedy_set_cover(n, edges)
+    msg.println_message(f"{len(clusters)} clusters from {n} sequences", 3)
+    return clusters, kept
+
+
+def run(args) -> None:
+    input_db = args.cluster_input
+    output = args.cluster_output
+    keep = bool(args.cluster_keep_cluster_db)
+    options = args.cluster_cluster_options
+
+    parent = os.path.dirname(output) or "."
+    os.makedirs(parent, exist_ok=True)
+    chkpnt.write_checkpoint(os.path.join(parent, "cluster.chk"), "0")
+
+    db = SeqDB.read(input_db, require_ss=True)
+    params = AlignParams.from_options(options)
+
+    msg.print_message("Running structural clustering...", 3)
+    msg.println_message("", 3)
+    clusters, _ = cluster_db(db, params)
+
+    write_cluster_tsv(output + ".tsv", clusters, db.names)
+
+    if keep:
+        # persist the intermediate cluster db (internal-id member lists)
+        with open(output + "_cluster", "w") as f:
+            for rep in sorted(clusters):
+                f.write("\0".join(str(m) for m in clusters[rep]) + "\n")
+
+    chkpnt.write_checkpoint(os.path.join(parent, "cluster.chk"), "1")

@@ -1,0 +1,142 @@
+"""ML tree search: NNI hill-climbing with batched candidate evaluation.
+
+The TPU-native twist on IQ-TREE/RAxML-style search: every NNI round
+builds ALL neighbor topologies as array-encoded trees and evaluates them
+in one `vmap`-ed device program (phylo/likelihood.py), instead of the
+CPU engines' incremental partial-CLV updates.  Branch lengths ride along
+with their subtrees (standard NNI approximation) and are re-optimized
+jointly (autodiff + adam) after each accepted move.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from unicore_tpu.phylo.likelihood import (
+    LikelihoodEngine,
+    arrays_to_tree,
+    make_root_binary,
+    tree_to_arrays,
+    unroot,
+)
+from unicore_tpu.phylo.newick import Node, bipartitions
+from unicore_tpu.runtime import logging as msg
+
+
+def copy_tree(root: Node) -> Node:
+    new = Node(root.name, root.length)
+    new.support = root.support
+    for c in root.children:
+        new.add(copy_tree(c))
+    return new
+
+
+def nni_neighbors(root: Node) -> List[Node]:
+    """All NNI rearrangements of a binary rooted tree (as new trees)."""
+    out: List[Node] = []
+    # index nodes by postorder position for stable addressing in copies
+    def paths(node: Node, path: Tuple[int, ...]) -> List[Tuple[Tuple[int, ...], Node]]:
+        acc = [(path, node)]
+        for ci, c in enumerate(node.children):
+            acc.extend(paths(c, path + (ci,)))
+        return acc
+
+    def get(node: Node, path: Tuple[int, ...]) -> Node:
+        for p in path:
+            node = node.children[p]
+        return node
+
+    for path, v in paths(root, ()):
+        if v is root or v.is_leaf or v.parent is None:
+            continue
+        u = v.parent
+        # sibling of v
+        sib_idx = 1 - u.children.index(v)
+        for child_idx in range(2):
+            t = copy_tree(root)
+            v2 = get(t, path)
+            u2 = v2.parent
+            c2 = v2.children[child_idx]
+            s2 = u2.children[sib_idx]
+            # swap c2 and s2
+            v2.children[child_idx] = s2
+            s2.parent = v2
+            u2.children[sib_idx] = c2
+            c2.parent = u2
+            out.append(t)
+    return out
+
+
+class TreeSearch:
+    def __init__(self, engine: LikelihoodEngine, seed: int = 12345):
+        self.engine = engine
+        self.rng = np.random.RandomState(seed)
+        self.visited: List[Tuple[np.ndarray, np.ndarray, float]] = []  # (children, blens, ll)
+
+    # ------------------------------------------------------------------
+    def optimize(
+        self,
+        start: Node,
+        max_rounds: int = 20,
+        blen_steps: int = 150,
+        track_visited: bool = True,
+    ) -> Tuple[Node, float]:
+        """NNI hill-climb from a starting (unrooted ok) tree."""
+        eng = self.engine
+        root = make_root_binary(copy_tree(start))
+        children, blens = tree_to_arrays(root, eng.names)
+        blens, ll = eng.optimize_blens(children, blens, steps=blen_steps)
+        if track_visited:
+            self.visited.append((children.copy(), blens.copy(), ll))
+        msg.println_message(f"  start lnL = {ll:.4f}", 4)
+
+        for rnd in range(max_rounds):
+            root = arrays_to_tree(children, blens, eng.names)
+            cands = nni_neighbors(root)
+            if not cands:
+                break
+            arr = [tree_to_arrays(c, eng.names) for c in cands]
+            cb = np.stack([a[0] for a in arr])
+            bb = np.stack([a[1] for a in arr])
+            # pad the candidate batch to a stable size so the vmapped
+            # evaluation compiles once per tree size, not once per round
+            n_real = cb.shape[0]
+            pad_to = -(-n_real // 32) * 32
+            if pad_to > n_real:
+                cb = np.concatenate([cb, np.repeat(cb[:1], pad_to - n_real, 0)])
+                bb = np.concatenate([bb, np.repeat(bb[:1], pad_to - n_real, 0)])
+            lls = eng.loglik_batch(cb, bb)[:n_real]
+            best = int(np.argmax(lls))
+            if lls[best] <= ll + 1e-4:
+                # no strictly-better neighbor under fixed branch lengths;
+                # re-optimize the best candidate's lengths before giving up
+                nb, nll = eng.optimize_blens(cb[best], bb[best], steps=blen_steps)
+                if nll > ll + 1e-4:
+                    children, blens, ll = cb[best], nb, nll
+                    if track_visited:
+                        self.visited.append((children.copy(), blens.copy(), ll))
+                    continue
+                break
+            children, blens = cb[best], bb[best]
+            blens, ll = eng.optimize_blens(children, blens, steps=blen_steps)
+            if track_visited:
+                self.visited.append((children.copy(), blens.copy(), ll))
+            msg.println_message(f"  NNI round {rnd + 1}: lnL = {ll:.4f}", 4)
+
+        final = arrays_to_tree(children, blens, eng.names)
+        self._final = (children, blens, ll)
+        return final, ll
+
+    # ------------------------------------------------------------------
+    def perturb(self, root: Node, n_moves: int = 3) -> Node:
+        """Random NNI moves (for raxml-style multi-start)."""
+        t = make_root_binary(copy_tree(root))
+        for _ in range(n_moves):
+            cands = nni_neighbors(t)
+            if not cands:
+                break
+            t = cands[self.rng.randint(len(cands))]
+        return t
