@@ -1,0 +1,93 @@
+"""ProstT5 model tests: forward shapes, padding invariance, HF-layout
+weight loading (synthetic checkpoint), engine batching."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    from unicore_tpu.models.prostt5 import T5Config
+    return T5Config.small()
+
+
+def test_forward_shapes(small_cfg):
+    import jax.numpy as jnp
+    from unicore_tpu.models.prostt5 import encoder_forward, init_params, cnn_head
+
+    params = init_params(small_cfg, seed=0, dtype=jnp.float32)
+    B, L = 8, 128
+    toks = jnp.zeros((B, L), jnp.int32)
+    mask = jnp.ones((B, L), bool)
+    h = encoder_forward(params, small_cfg, toks, mask)
+    assert h.shape == (B, L, small_cfg.d_model)
+    logits = cnn_head(params, small_cfg, h)
+    assert logits.shape == (B, L, 20)
+
+
+def test_padding_invariance(small_cfg):
+    """Predictions for a sequence must not depend on batch padding."""
+    from unicore_tpu.models.prostt5 import ProstT5Engine
+
+    eng = ProstT5Engine(None, cfg=small_cfg)
+    seq = "MIRGGDIAKGTVLLHKGAPYLVVEREFVNPGKGAAFARVKMK"
+    alone = eng.predict([seq])[0]
+    batched = eng.predict([seq, "ACDEFG", seq + "AAA"])[0]
+    assert alone == batched
+    assert len(alone) == len(seq)
+
+
+def test_engine_deterministic(small_cfg):
+    from unicore_tpu.models.prostt5 import ProstT5Engine
+
+    a = ProstT5Engine(None, cfg=small_cfg).predict(["ACDEFGHIKLMNPQ"])
+    b = ProstT5Engine(None, cfg=small_cfg).predict(["ACDEFGHIKLMNPQ"])
+    assert a == b
+
+
+def test_hf_checkpoint_loading(tmp_path, small_cfg):
+    """Synthetic HF-named checkpoint exercises the name mapping."""
+    from safetensors.numpy import save_file
+    from unicore_tpu.models.prostt5 import load_params
+
+    cfg = small_cfg
+    inner = cfg.n_heads * cfg.d_kv
+    rng = np.random.RandomState(0)
+    tensors = {
+        "shared.weight": rng.randn(cfg.vocab + 3, cfg.d_model).astype(np.float32),
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+            rng.randn(cfg.rel_buckets, cfg.n_heads).astype(np.float32),
+        "encoder.final_layer_norm.weight": np.ones(cfg.d_model, np.float32),
+        "classifier.0.weight": rng.randn(cfg.cnn_hidden, cfg.d_model, cfg.cnn_kernel, 1).astype(np.float32),
+        "classifier.0.bias": np.zeros(cfg.cnn_hidden, np.float32),
+        "classifier.3.weight": rng.randn(cfg.n_classes, cfg.cnn_hidden, cfg.cnn_kernel, 1).astype(np.float32),
+        "classifier.3.bias": np.zeros(cfg.n_classes, np.float32),
+    }
+    for i in range(cfg.n_layers):
+        pre = f"encoder.block.{i}.layer"
+        tensors.update({
+            f"{pre}.0.layer_norm.weight": np.ones(cfg.d_model, np.float32),
+            f"{pre}.0.SelfAttention.q.weight": rng.randn(inner, cfg.d_model).astype(np.float32),
+            f"{pre}.0.SelfAttention.k.weight": rng.randn(inner, cfg.d_model).astype(np.float32),
+            f"{pre}.0.SelfAttention.v.weight": rng.randn(inner, cfg.d_model).astype(np.float32),
+            f"{pre}.0.SelfAttention.o.weight": rng.randn(cfg.d_model, inner).astype(np.float32),
+            f"{pre}.1.layer_norm.weight": np.ones(cfg.d_model, np.float32),
+            f"{pre}.1.DenseReluDense.wi_0.weight": rng.randn(cfg.d_ff, cfg.d_model).astype(np.float32),
+            f"{pre}.1.DenseReluDense.wi_1.weight": rng.randn(cfg.d_ff, cfg.d_model).astype(np.float32),
+            f"{pre}.1.DenseReluDense.wo.weight": rng.randn(cfg.d_model, cfg.d_ff).astype(np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    params = load_params(str(tmp_path), cfg)
+    assert params is not None
+    assert params["embed"].shape == (cfg.vocab, cfg.d_model)
+    assert params["layers"][0]["q"].shape == (cfg.d_model, inner)
+    assert params["layers"][0]["wo"].shape == (cfg.d_ff, cfg.d_model)
+    assert params["cnn"]["w1"].shape == (cfg.cnn_kernel, cfg.d_model, cfg.cnn_hidden)
+
+    # engine picks up the checkpoint and reports pretrained
+    from unicore_tpu.models.prostt5 import ProstT5Engine
+    eng = ProstT5Engine(str(tmp_path), cfg=cfg)
+    assert eng.loaded_pretrained
+    out = eng.predict(["ACDEFGHIKL"])
+    assert len(out[0]) == 10

@@ -8,7 +8,7 @@ from unicore_tpu.ops.sw import build_scores, sw_forward_pallas, sw_forward_xla
 from unicore_tpu.ops.sw_ref import sw_forward_ref, sw_traceback_ref
 
 RNG = np.random.RandomState(7)
-GO, GE = 10.0, 1.0
+GO, GE = 100.0, 10.0
 
 
 def _random_pairs(B, Lq, Lt, minlen=10):
@@ -50,10 +50,12 @@ def test_xla_backend_matches_numpy():
 def test_pallas_interpret_matches_numpy():
     saa = BLOSUM62.astype(np.float32)
     s3d = default_3di_matrix().astype(np.float32)
-    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 32, 128)
+    # Lq=256 with block_rows=128 exercises the 2-row-block scratch
+    # persistence path under the interpreter
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 256, 128)
     best, bi, bj = sw_forward_pallas(
         qa, qs, ta, ts, qlen, tlen, saa, s3d,
-        go=GO, ge=GE, block_rows=16, interpret=True,
+        go=GO, ge=GE, block_rows=128, batch_tile=8, interpret=True,
     )
     best, bi, bj = np.array(best), np.array(bi), np.array(bj)
     scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
@@ -97,6 +99,6 @@ def test_identical_sequences_high_score():
     )
     best, bi, bj = sw_forward_xla(scores, go=GO, ge=GE)
     # self alignment: ends at the last cell, score = sum of diagonal scores
-    expected = float(sum(1.4 * saa[a[i], a[i]] + 2.1 * s3d[s[i], s[i]] for i in range(L)))
+    expected = float(sum(14 * saa[a[i], a[i]] + 21 * s3d[s[i], s[i]] for i in range(L)))
     assert float(best[0]) == pytest.approx(expected)
     assert (int(bi[0]), int(bj[0])) == (L - 1, L - 1)

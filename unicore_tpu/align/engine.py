@@ -35,8 +35,9 @@ from unicore_tpu.runtime import logging as msg
 
 @dataclass
 class AlignParams:
-    gap_open: float = 10.0
-    gap_extend: float = 1.0
+    # integer scoring units: 10x Foldseek's (1.4 AA : 2.1 3Di, gap 10/1)
+    gap_open: float = 100.0
+    gap_extend: float = 10.0
     w_aa: float = W_AA
     w_3di: float = W_3DI
     coverage: float = 0.8
@@ -70,9 +71,10 @@ class AlignParams:
             elif t == "--min-seq-id":
                 p.min_seq_id = float(val())
             elif t == "--gap-open":
-                p.gap_open = float(val())
+                # user options use foldseek units; internal scoring is 10x
+                p.gap_open = float(val()) * 10.0
             elif t == "--gap-extend":
-                p.gap_extend = float(val())
+                p.gap_extend = float(val()) * 10.0
             elif t in ("--threads", "-v", "--max-seqs", "-s"):
                 val()  # accepted, handled elsewhere / ignored
             i += 1
@@ -177,7 +179,7 @@ class AlignmentEngine:
         for (LQ, LT), idxs in sorted(buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
-                B = _round_up(len(chunk), 8)
+                B = _round_up(len(chunk), 16)
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)
@@ -211,7 +213,7 @@ class AlignmentEngine:
         for (LQ, LT), idxs in sorted(rev_buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
-                B = _round_up(len(chunk), 8)
+                B = _round_up(len(chunk), 16)
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)

@@ -106,9 +106,11 @@ def get_aa_matrix() -> np.ndarray:
     return BLOSUM62
 
 
-# Foldseek-style combined weighting (3Di : AA ~ 2.1 : 1.4)
-W_3DI = 2.1
-W_AA = 1.4
+# Foldseek-style combined weighting (3Di : AA = 2.1 : 1.4), expressed in
+# 10x integer units (21 : 14, gaps 100/10) so every combined score is an
+# integer — exact under bf16 MXU arithmetic (see ops/sw.py docstring)
+W_3DI = 21.0
+W_AA = 14.0
 
 
 def combined_matrix(w_3di: float = W_3DI, w_aa: float = W_AA) -> Optional[np.ndarray]:

@@ -58,22 +58,25 @@ def nw_align(
         H[0, 1:] = -go - ge * np.arange(L2)
         H[1:, 0] = -go - ge * np.arange(L1)
 
+    jge = ge * np.arange(L2 + 1)
     for i in range(1, L1 + 1):
         F[i] = np.maximum(H[i - 1] - go, F[i - 1] - ge)
         diag = H[i - 1, :-1] + S[i - 1]
-        h = np.maximum(diag, F[i, 1:])
-        # E needs a serial scan: E[j] = max(H[j-1]-go, E[j-1]-ge)
-        hrow = H[i]
-        erow = E[i]
-        prev_h = hrow[0]
-        prev_e = NEG
-        for j in range(1, L2 + 1):
-            e = max(prev_h - go, prev_e - ge)
-            v = max(h[j - 1], e)
-            erow[j] = e
-            hrow[j] = v
-            prev_h = v
-            prev_e = e
+        h0 = np.maximum(diag, F[i, 1:])
+        # E via prefix max (exact when go >= ge: a gap opened from an
+        # E-derived cell is dominated by extending the earlier gap):
+        #   E[j] = max_{k<j} (G[k] + k*ge) - go - (j-1)*ge
+        # with G[0] = H[i][0] and G[k] = h0[k-1]
+        G = np.empty(L2 + 1)
+        G[0] = H[i, 0]
+        G[1:] = h0
+        P = np.maximum.accumulate(G[:-1] + jge[:-1])
+        Escan = P - go - jge[1:] + ge
+        H[i, 1:] = np.maximum(h0, Escan)
+        # Gotoh-consistent E from the final row, so traceback identities
+        # (H == E, E == H[j-1]-go) hold exactly
+        P2 = np.maximum.accumulate(H[i, :-1] + jge[:-1])
+        E[i, 1:] = P2 - go - jge[1:] + ge
 
     if free_ends:
         # end anywhere on last row/col; pick global best

@@ -20,9 +20,19 @@ ops with zero scalar loops.
 
 Scoring runs on the MXU inside the same kernel: per-pair target score
 profiles are built once via one-hot matmuls against the 3Di and AA
-substitution matrices (factorized — two K=21 matmuls instead of one
-K=441 joint matmul), then each query row block gathers its scores with
-one (RB, 2*21) x (2*21, Lt) matmul.  Substitution scores never touch HBM.
+substitution matrices, then each query row block gathers its scores with
+one (RB, 64) x (64, Lt) matmul.  Substitution scores never touch HBM.
+
+**Integer scoring units**: the default convention scales Foldseek's
+combined weighting (1.4 AA : 2.1 3Di, gap 10/1) by 10x to integers
+(w_aa=14, w_3di=21, go=100, ge=10).  Every profile entry then stays an
+integer below 256 — exactly representable in bf16 — so the MXU one-hot
+matmuls and the f32 DP are bit-exact regardless of MXU input rounding.
+E-value lambdas are fitted to the scaled matrix (align/stats.py), so
+statistics stay consistent.
+
+Ties resolve row-major (lowest (i, j) wins), matching the NumPy golden
+model, via a min-key reduction over (row * Lt + col) at emit time.
 
 Two interchangeable backends:
   * `sw_forward_xla`   — pure jax.lax implementation of the same math
@@ -50,6 +60,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 NA = 21  # alphabet size (20 + X) for both AA and 3Di channels
 
+# default integer scoring units (10x Foldseek's 1.4/2.1 with gap 10/1)
+W_AA_INT = 14.0
+W_3DI_INT = 21.0
+GAP_OPEN_INT = 100.0
+GAP_EXTEND_INT = 10.0
+
 
 # ---------------------------------------------------------------------------
 # XLA (lax) backend — same recurrence, jit-friendly, any device
@@ -69,8 +85,8 @@ def _prefix_max(t: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("go", "ge"))
 def sw_forward_xla(
     scores: jnp.ndarray,  # (B, Lq, Lt) float32, padded cells already ~NEG
-    go: float = 10.0,
-    ge: float = 1.0,
+    go: float = GAP_OPEN_INT,
+    ge: float = GAP_EXTEND_INT,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq, Lt = scores.shape
     jge = (jnp.arange(Lt, dtype=jnp.float32) * ge)[None, :]  # (1, Lt)
@@ -114,14 +130,15 @@ def _sw_kernel(
     # inputs
     qa_ref, qs_ref,              # (BT, RB) int32 query codes (row block)
     ta_ref, ts_ref,              # (BT, LT) int32 target codes
-    saa_ref, s3d_ref,            # (32, 128) f32 padded substitution matrices
+    saa_ref, s3d_ref,            # (32, 128) f32 substitution matrices
     # outputs
     best_ref, qend_ref, tend_ref,  # (BT, 128)
     # scratch
     h_ref, f_ref,                # (BT, LT) f32 DP state
-    prof_ref,                    # (BT, 2*NA-padded=64, LT) f32 target profiles
+    prof_ref,                    # (BT, 64, LT) bf16 target profiles
     sc_ref,                      # (BT, RB, LT) f32 score block
-    bb_ref, bi_ref, bj_ref,      # (BT, 128) running best/argmax
+    bb_ref,                      # (BT, LT) f32 running per-column best
+    br_ref,                      # (BT, LT) i32 row index of column best
     *,
     BT: int, RB: int, LT: int,
     go: float, ge: float, w_aa: float, w_3di: float,
@@ -136,38 +153,39 @@ def _sw_kernel(
     def _init():
         h_ref[:] = jnp.zeros((BT, LT), jnp.float32)
         f_ref[:] = jnp.full((BT, LT), NEG, jnp.float32)
-        bb_ref[:] = jnp.zeros((BT, 128), jnp.float32)
-        bi_ref[:] = jnp.zeros((BT, 128), jnp.int32)
-        bj_ref[:] = jnp.zeros((BT, 128), jnp.int32)
+        bb_ref[:] = jnp.zeros((BT, LT), jnp.float32)
+        br_ref[:] = jnp.zeros((BT, LT), jnp.int32)
+        # rows 2*NA..63 of the profile are never written below; zero them
+        # so the one-hot matmul can't pick up stale VMEM
+        prof_ref[:] = jnp.zeros_like(prof_ref)
         # Per-pair target score profiles, once per pair:
         #   prof[bb, a, j]      = w_aa  * SAA[a, ta[bb, j]]
         #   prof[bb, NA + a, j] = w_3di * S3D[a, ts[bb, j]]
-        # zero the full profile scratch first: rows 2*NA..63 are never
-        # written below, and uninitialized VMEM would poison the one-hot
-        # matmul (0 * garbage / 0 * NaN)
-        prof_ref[:] = jnp.zeros_like(prof_ref)
+        # integer-valued (< 256) -> exact in bf16.
         arow = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 0)
         saa = saa_ref[:NA, :NA]
         s3d = s3d_ref[:NA, :NA]
         for bb in range(BT):
-            oh_a = (ta_ref[bb, :][None, :] == arow).astype(jnp.float32)  # (NA, LT)
+            oh_a = (ta_ref[bb, :][None, :] == arow).astype(jnp.float32)
             oh_s = (ts_ref[bb, :][None, :] == arow).astype(jnp.float32)
-            prof_ref[bb, :NA, :] = jnp.dot(saa, oh_a, preferred_element_type=jnp.float32) * w_aa
-            prof_ref[bb, NA : 2 * NA, :] = jnp.dot(s3d, oh_s, preferred_element_type=jnp.float32) * w_3di
+            pa = jnp.dot(saa, oh_a, preferred_element_type=jnp.float32) * w_aa
+            ps = jnp.dot(s3d, oh_s, preferred_element_type=jnp.float32) * w_3di
+            prof_ref[bb, :NA, :] = pa.astype(prof_ref.dtype)
+            prof_ref[bb, NA : 2 * NA, :] = ps.astype(prof_ref.dtype)
 
-    # ---- score block for this (b, r): one small MXU matmul per pair ----
+    # ---- score block for this (b, r): one MXU matmul per pair ----
     rowsel = jax.lax.broadcasted_iota(jnp.int32, (RB, 64), 1)
     irow = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 0) + r * RB
     colr = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 1)
     for bb in range(BT):
         qa = qa_ref[bb, :][:, None]  # (RB, 1)
         qs = qs_ref[bb, :][:, None]
-        oh = ((rowsel == qa) | (rowsel == qs + NA)).astype(jnp.float32)  # (RB, 64)
-        blk = jnp.dot(oh, prof_ref[bb, :, :], preferred_element_type=jnp.float32)  # (RB, LT)
+        oh = ((rowsel == qa) | (rowsel == qs + NA)).astype(prof_ref.dtype)
+        blk = jnp.dot(oh, prof_ref[bb, :, :], preferred_element_type=jnp.float32)
         ql = qlen_ref[b * BT + bb]
         tl = tlen_ref[b * BT + bb]
         valid = (irow < ql) & (colr < tl)
-        sc_ref[bb, :, :] = jnp.where(valid, blk, NEG)
+        sc_ref[bb, :, :] = jnp.where(valid, blk, -20000.0)
 
     # ---- DP rows ----
     def row_body(i_local, _):
@@ -193,21 +211,29 @@ def _sw_kernel(
         h_ref[:] = H
         f_ref[:] = F
 
-        row_max = jnp.max(H, axis=1, keepdims=True)          # (BT, 1)
-        row_arg = jnp.argmax(H, axis=1).astype(jnp.int32)[:, None]
-        upd = row_max > bb_ref[:, 0:1]
-        bb_ref[:, 0:1] = jnp.where(upd, row_max, bb_ref[:, 0:1])
-        bi_ref[:, 0:1] = jnp.where(upd, i_global, bi_ref[:, 0:1])
-        bj_ref[:, 0:1] = jnp.where(upd, row_arg, bj_ref[:, 0:1])
+        # elementwise per-column best tracking (strict > keeps the
+        # earliest row, giving row-major tie-breaking)
+        upd = H > bb_ref[:]
+        bb_ref[:] = jnp.where(upd, H, bb_ref[:])
+        br_ref[:] = jnp.where(upd, i_global, br_ref[:])
         return 0
 
     jax.lax.fori_loop(0, RB, row_body, 0)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _emit():
-        best_ref[:] = jnp.broadcast_to(bb_ref[:, 0:1], (BT, 128))
-        qend_ref[:] = jnp.broadcast_to(bi_ref[:, 0:1], (BT, 128))
-        tend_ref[:] = jnp.broadcast_to(bj_ref[:, 0:1], (BT, 128))
+        BB = bb_ref[:]
+        ROW = br_ref[:]
+        best = jnp.max(BB, axis=1, keepdims=True)  # (BT, 1)
+        # among max-valued cells pick min (row, col): min over row*LT+col
+        key = ROW * LT + col
+        cand = BB >= best
+        minkey = jnp.min(jnp.where(cand, key, jnp.int32(2**30)), axis=1, keepdims=True)
+        qe = minkey // LT
+        te = minkey - qe * LT
+        best_ref[:] = jnp.broadcast_to(best, (BT, 128))
+        qend_ref[:] = jnp.broadcast_to(qe, (BT, 128))
+        tend_ref[:] = jnp.broadcast_to(te, (BT, 128))
 
 
 @functools.partial(
@@ -223,18 +249,22 @@ def sw_forward_pallas(
     tlen: jnp.ndarray,  # (B,) int32
     saa: jnp.ndarray,   # (21, 21) f32
     s3d: jnp.ndarray,   # (21, 21) f32
-    go: float = 10.0,
-    ge: float = 1.0,
-    w_aa: float = 1.4,
-    w_3di: float = 2.1,
+    go: float = GAP_OPEN_INT,
+    ge: float = GAP_EXTEND_INT,
+    w_aa: float = W_AA_INT,
+    w_3di: float = W_3DI_INT,
     block_rows: int = 128,
-    batch_tile: int = 8,
+    batch_tile: int = 16,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
-    BT, RB = batch_tile, min(block_rows, Lq)
+    BT = batch_tile
+    # Mosaic requires the trailing block dim to be a multiple of 128 or
+    # equal to the full array dim
+    RB = Lq if Lq <= block_rows else block_rows
     assert B % BT == 0 and Lq % RB == 0 and Lt % 128 == 0
+    assert RB == Lq or RB % 128 == 0
 
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
     s3d_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(s3d.astype(jnp.float32))
@@ -264,11 +294,10 @@ def sw_forward_pallas(
         scratch_shapes=[
             pltpu.VMEM((BT, Lt), jnp.float32),
             pltpu.VMEM((BT, Lt), jnp.float32),
-            pltpu.VMEM((BT, 64, Lt), jnp.float32),
+            pltpu.VMEM((BT, 64, Lt), jnp.bfloat16),
             pltpu.VMEM((BT, RB, Lt), jnp.float32),
-            pltpu.VMEM((BT, 128), jnp.float32),
-            pltpu.VMEM((BT, 128), jnp.int32),
-            pltpu.VMEM((BT, 128), jnp.int32),
+            pltpu.VMEM((BT, Lt), jnp.float32),
+            pltpu.VMEM((BT, Lt), jnp.int32),
         ],
     )
 
@@ -299,7 +328,7 @@ def build_scores(
     qa: np.ndarray, qs: np.ndarray, ta: np.ndarray, ts: np.ndarray,
     qlen: np.ndarray, tlen: np.ndarray,
     saa: np.ndarray, s3d: np.ndarray,
-    w_aa: float = 1.4, w_3di: float = 2.1,
+    w_aa: float = W_AA_INT, w_3di: float = W_3DI_INT,
 ) -> np.ndarray:
     s = w_aa * saa[qa[:, :, None], ta[:, None, :]] + w_3di * s3d[qs[:, :, None], ts[:, None, :]]
     B, Lq, Lt = s.shape
@@ -307,3 +336,62 @@ def build_scores(
     tm = np.arange(Lt)[None, :] < tlen[:, None]
     mask = qm[:, :, None] & tm[:, None, :]
     return np.where(mask, s, NEG).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device data parallelism: shard the pair batch over a 1-D mesh
+# ---------------------------------------------------------------------------
+
+def sw_forward_sharded(
+    qa, qs, ta, ts, qlen, tlen, saa, s3d,
+    mesh,
+    go: float = GAP_OPEN_INT,
+    ge: float = GAP_EXTEND_INT,
+    w_aa: float = W_AA_INT,
+    w_3di: float = W_3DI_INT,
+    backend: str = "pallas",
+):
+    """Run the forward kernel data-parallel over every device of `mesh`.
+
+    The batch axis is sharded over the mesh's first axis; each device runs
+    the Pallas kernel (or the XLA scan) on its shard — the pure-DP layout
+    of BASELINE.json's "query sharded, pairwise tiles per chip" design.
+    B must be divisible by (n_devices * batch_tile).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    if backend == "pallas":
+        def local(qa, qs, ta, ts, ql, tl, saa, s3d):
+            return sw_forward_pallas(
+                qa, qs, ta, ts, ql, tl, saa, s3d,
+                go=go, ge=ge, w_aa=w_aa, w_3di=w_3di,
+            )
+    else:
+        def local(qa, qs, ta, ts, ql, tl, saa, s3d):
+            s = (
+                w_aa * saa[qa[:, :, None], ta[:, None, :]]
+                + w_3di * s3d[qs[:, :, None], ts[:, None, :]]
+            )
+            Lq, Lt = qa.shape[1], ta.shape[1]
+            qm = jnp.arange(Lq)[None, :] < ql[:, None]
+            tm = jnp.arange(Lt)[None, :] < tl[:, None]
+            mask = qm[:, :, None] & tm[:, None, :]
+            s = jnp.where(mask, s.astype(jnp.float32), NEG)
+            return sw_forward_xla(s, go=go, ge=ge)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    args = [jax.device_put(jnp.asarray(x), sh) for x in (qa, qs, ta, ts, qlen, tlen)]
+    args += [jax.device_put(jnp.asarray(saa, jnp.float32), rep),
+             jax.device_put(jnp.asarray(s3d, jnp.float32), rep)]
+    return jax.jit(fn)(*args)

@@ -60,20 +60,23 @@ def sw_traceback_ref(
     H = np.zeros((Lq + 1, Lt + 1))
     E = np.full((Lq + 1, Lt + 1), NEG)
     F = np.full((Lq + 1, Lt + 1), NEG)
+    jge = ge * np.arange(Lt + 1)
     for i in range(1, Lq + 1):
-        # vectorized F and diag; E needs a serial pass (done with a scan trick)
         F[i] = np.maximum(H[i - 1] - go, F[i - 1] - ge)
         diag = H[i - 1, :-1] + scores[i - 1]
         h0 = np.maximum(0.0, np.maximum(diag, F[i, 1:]))
-        # E via prefix-max of (h_row + j*ge) — same formulation as the kernel
-        # but over the final row values, so compute serially for exactness:
-        hrow = np.zeros(Lt + 1)
-        erow = np.full(Lt + 1, NEG)
-        for j in range(1, Lt + 1):
-            erow[j] = max(hrow[j - 1] - go, erow[j - 1] - ge)
-            hrow[j] = max(h0[j - 1], erow[j])
-        H[i, 1:] = hrow[1:]
-        E[i] = erow
+        # E via prefix max of (h0 + k*ge); exact for go >= ge (gap opened
+        # from an E-derived cell is dominated by extending that gap)
+        G = np.empty(Lt + 1)
+        G[0] = 0.0
+        G[1:] = h0
+        P = np.maximum.accumulate(G[:-1] + jge[:-1])
+        Escan = P - go - jge[1:] + ge
+        H[i, 1:] = np.maximum(h0, Escan)
+        # store the Gotoh-consistent E (prefix max over the FINAL row) so
+        # traceback identities (E == H[j-1]-go etc.) hold exactly
+        P2 = np.maximum.accumulate(H[i, :-1] + jge[:-1])
+        E[i, 1:] = P2 - go - jge[1:] + ge
     best_flat = np.argmax(H)
     bi, bj = np.unravel_index(best_flat, H.shape)
     score = H[bi, bj]

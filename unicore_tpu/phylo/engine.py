@@ -100,7 +100,6 @@ class TreeEngine:
                 t.add(Node(n, 0.0))
             return t, 0.0, {"n_taxa": len(names)}
         if len(names) == 2:
-            from unicore_tpu.phylo.nj import protein_distances
             D = protein_distances(names, seqs)
             t = Node()
             t.add(Node(names[0], D[0, 1] / 2))
