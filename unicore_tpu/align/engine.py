@@ -179,7 +179,9 @@ class AlignmentEngine:
         for (LQ, LT), idxs in sorted(buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
-                B = _round_up(len(chunk), 16)
+                # fixed batch shape whenever the bucket spans multiple
+                # chunks: one compile per (LQ, LT) shape, not per chunk
+                B = p.batch_size if len(idxs) > p.batch_size else _round_up(len(chunk), 16)
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)
@@ -194,7 +196,11 @@ class AlignmentEngine:
                     qs[row, : ql[row]] = q_ss[qi]
                     ta[row, : tl[row]] = t_aa[ti]
                     ts[row, : tl[row]] = t_ss[ti]
+                from unicore_tpu.runtime import profiling
+                t0 = __import__("time").time()
                 b, qe, te = self._forward_batch(qa, qs, ta, ts, ql, tl)
+                profiling.add_counter("align.cells", float(B) * LQ * LT)
+                profiling.add_counter("align.seconds", __import__("time").time() - t0)
                 for row, k in enumerate(chunk):
                     best[k] = b[row]
                     qend[k] = qe[row]
@@ -213,7 +219,9 @@ class AlignmentEngine:
         for (LQ, LT), idxs in sorted(rev_buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
-                B = _round_up(len(chunk), 16)
+                # fixed batch shape whenever the bucket spans multiple
+                # chunks: one compile per (LQ, LT) shape, not per chunk
+                B = p.batch_size if len(idxs) > p.batch_size else _round_up(len(chunk), 16)
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)

@@ -89,12 +89,20 @@ def candidate_pairs(
     Nq, Nt = fq.shape[0], ft.shape[0]
     pairs: List[Tuple[int, int]] = []
     ftj = jnp.asarray(ft.T)
+
+    # chance-overlap correction: two unrelated bags with set bits kq, kt
+    # share ~ dim * (kq/dim) * (kt/dim) features; require an excess of
+    # max(min_shared, 3*sigma) over that expectation
+    kq = fq.sum(axis=1)
+    kt = ft.sum(axis=1)
     for i0 in range(0, Nq, block):
         i1 = min(i0 + block, Nq)
         shared = np.asarray(jnp.dot(jnp.asarray(fq[i0:i1]), ftj))  # (b, Nt)
         for ii in range(i1 - i0):
             i = i0 + ii
-            cand = np.nonzero(shared[ii] >= min_shared)[0]
+            expected = kq[i] * kt / dim
+            thr = expected + np.maximum(min_shared, 3.0 * np.sqrt(expected + 1.0))
+            cand = np.nonzero(shared[ii] >= thr)[0]
             if coverage > 0:
                 lr = np.minimum(lens_q[i], lens_t[cand]) / np.maximum(lens_q[i], lens_t[cand])
                 cand = cand[lr >= coverage]

@@ -30,7 +30,8 @@ def _lambda_cached(key) -> float:
     q = np.array(q)
 
     def f(lam: float) -> float:
-        return float(p @ np.exp(lam * S) @ q) - 1.0
+        with np.errstate(over="ignore"):
+            return float(p @ np.exp(np.minimum(lam * S, 700.0)) @ q) - 1.0
 
     if float(p @ S @ q) >= 0:
         # positive expected score: KA theory inapplicable; weak fallback

@@ -316,9 +316,27 @@ class ProstT5Engine:
             self.params = init_params(self.cfg, seed=seed)
         self.batch_tokens = batch_tokens
 
+    def _dp_setup(self):
+        """Data-parallel inference over all local devices (lazy)."""
+        if getattr(self, "_dp", None) is not None:
+            return self._dp
+        import jax
+
+        n = len(jax.devices())
+        if n <= 1:
+            self._dp = (1, None)
+            return self._dp
+        from unicore_tpu.parallel.mesh import make_mesh
+        from unicore_tpu.parallel.sharding import make_sharded_predict
+
+        mesh = make_mesh(dp=n, tp=1)
+        self._dp = (n, make_sharded_predict(self.cfg, mesh))
+        return self._dp
+
     def predict(self, sequences: List[str]) -> List[str]:
         tdi = np.frombuffer(TDI_ALPHABET.encode(), dtype=np.uint8)
         out: List[Optional[str]] = [None] * len(sequences)
+        n_dev, sharded_predict = self._dp_setup()
         order = sorted(range(len(sequences)), key=lambda i: len(sequences[i]))
         i = 0
         while i < len(order):
@@ -329,16 +347,22 @@ class ProstT5Engine:
             chunk = [j for j in chunk if len(sequences[j]) <= L]
             i += len(chunk)
             B = len(chunk)
-            Bp = ((B + 7) // 8) * 8
+            pad = 8 * max(1, n_dev)
+            Bp = ((B + pad - 1) // pad) * pad
             toks = np.full((Bp, L), 20, dtype=np.int32)  # X padding
             mask = np.zeros((Bp, L), dtype=bool)
             for r, j in enumerate(chunk):
                 codes = encode_aa(sequences[j])
                 toks[r, : len(codes)] = codes
                 mask[r, : len(codes)] = True
-            codes3 = np.asarray(
-                predict_3di_codes(self.params, self.cfg, jnp.asarray(toks), jnp.asarray(mask))
-            )
+            if sharded_predict is not None:
+                codes3 = np.asarray(
+                    sharded_predict(self.params, jnp.asarray(toks), jnp.asarray(mask))
+                )
+            else:
+                codes3 = np.asarray(
+                    predict_3di_codes(self.params, self.cfg, jnp.asarray(toks), jnp.asarray(mask))
+                )
             for r, j in enumerate(chunk):
                 n = len(sequences[j])
                 out[j] = tdi[codes3[r, :n]].tobytes().decode()

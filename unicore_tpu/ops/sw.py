@@ -148,6 +148,13 @@ def _sw_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (BT, LT), 1)
     jge = col.astype(jnp.float32) * ge
+    # hoisted loop invariants: per-step scan masks and the j==0 mask
+    scan_masks = []
+    d = 1
+    while d < LT:
+        scan_masks.append(col >= d)
+        d *= 2
+    m0 = col == 0
 
     @pl.when(r == 0)
     def _init():
@@ -194,17 +201,19 @@ def _sw_kernel(
         F_prev = f_ref[:]
         s_row = sc_ref[:, i_local, :]  # (BT, LT)
 
-        diag = jnp.where(col == 0, 0.0, pltpu.roll(H_prev, shift=1, axis=1))
+        diag = jnp.where(m0, 0.0, pltpu.roll(H_prev, shift=1, axis=1))
         F = jnp.maximum(H_prev - go, F_prev - ge)
         H0 = jnp.maximum(0.0, jnp.maximum(diag + s_row, F))
 
         t = H0 + jge
         d = 1
+        k = 0
         while d < LT:
             rolled = pltpu.roll(t, shift=d, axis=1)
-            t = jnp.maximum(t, jnp.where(col >= d, rolled, NEG))
+            t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, NEG))
             d *= 2
-        Pexc = jnp.where(col == 0, NEG, pltpu.roll(t, shift=1, axis=1))
+            k += 1
+        Pexc = jnp.where(m0, NEG, pltpu.roll(t, shift=1, axis=1))
         E = Pexc - go + ge - jge
         H = jnp.maximum(H0, E)
 
@@ -308,11 +317,6 @@ def sw_forward_pallas(
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(B) * Lq * Lt * 40,
-            bytes_accessed=int(B) * (Lq + Lt) * 8,
-            transcendentals=0,
         ),
         interpret=interpret,
     )(qlen, tlen, qa, qs, ta, ts, saa_p, s3d_p)
