@@ -18,6 +18,11 @@ os.environ.setdefault("UNICORE_TPU_MOCK_PROSTT5", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: bucket-shaped SW/likelihood programs compile
+# once per machine instead of once per test session
+os.makedirs("/root/.cache/unicore_tpu/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/unicore_tpu/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 try:
     from jax._src import xla_bridge as _xb
 

@@ -20,6 +20,7 @@ struct (arg_parser.rs:404-468).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from types import SimpleNamespace
 
@@ -298,9 +299,21 @@ def resolve(ns: argparse.Namespace) -> SimpleNamespace:
     return a
 
 
+def _enable_compile_cache() -> None:
+    try:
+        import jax
+        cache = os.path.expanduser("~/.cache/unicore_tpu/jaxcache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def run(args: SimpleNamespace) -> None:
     msg.set_verbosity(args.verbosity)
     thr.set_threads(args.threads or 0)
+    _enable_compile_cache()
 
     cmd = args.command
     if cmd is None:
