@@ -36,9 +36,12 @@ def main() -> int:
     s3d = default_3di_matrix().astype(np.float32)
 
     if on_tpu:
-        B, L = 2048, 512
+        B, L, iters = 1024, 1024, 20
     else:
-        B, L = 64, 128
+        B, L, iters = 64, 128, 2
+
+    import functools
+    import jax.numpy as jnp
 
     qa = rng.randint(0, 20, (B, L)).astype(np.int32)
     qs = rng.randint(0, 20, (B, L)).astype(np.int32)
@@ -46,20 +49,36 @@ def main() -> int:
     ts = rng.randint(0, 20, (B, L)).astype(np.int32)
     ln = np.full(B, L, np.int32)
 
-    def run():
-        if on_tpu:
-            return sw_forward_pallas(qa, qs, ta, ts, ln, ln, saa, s3d)
-        scores = build_scores(qa, qs, ta, ts, ln, ln, saa, s3d)
-        return sw_forward_xla(scores)
+    if on_tpu:
+        # loop inside one jit so per-dispatch transport latency (large on
+        # tunneled dev chips) does not pollute the kernel measurement
+        dsaa, ds3d = jnp.asarray(saa), jnp.asarray(s3d)
+        dqa, dqs, dta, dts, dln = (jnp.asarray(x) for x in (qa, qs, ta, ts, ln))
 
-    # warmup/compile
-    jax.block_until_ready(run())
-    iters = 5 if on_tpu else 2
-    t0 = time.time()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(qa, qs, ta, ts, ln, n):
+            def body(i, acc):
+                q2 = jnp.roll(qa, i, axis=0)
+                b, _, _ = sw_forward_pallas(q2, qs, ta, ts, ln, ln, dsaa, ds3d)
+                return acc + jnp.sum(b)
+            return jax.lax.fori_loop(0, n, body, 0.0)
+
+        jax.block_until_ready(run(dqa, dqs, dta, dts, dln, n=iters))
+        t0 = time.time()
+        out = run(dqa, dqs, dta, dts, dln, n=iters)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+    else:
+        def run_once():
+            scores = build_scores(qa, qs, ta, ts, ln, ln, saa, s3d)
+            return sw_forward_xla(scores)
+
+        jax.block_until_ready(run_once())
+        t0 = time.time()
+        for _ in range(iters):
+            out = run_once()
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
 
     gcups = B * L * L / dt / 1e9
     baseline_gcups = 2.0
