@@ -301,14 +301,27 @@ class LikelihoodEngine:
         )
 
     # -- batched topologies (NNI rounds) --------------------------------
-    def loglik_batch(self, children_batch: np.ndarray, blens_batch: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            _loglik_batch_impl(
-                jnp.asarray(children_batch),
-                jnp.asarray(blens_batch, jnp.float32),
+    def loglik_batch(
+        self, children_batch: np.ndarray, blens_batch: np.ndarray,
+        chunk: int = 16,
+    ) -> np.ndarray:
+        """Batched topology evaluation, chunked to bound CLV memory
+        (each candidate carries a (2n-1, C, P, 20) buffer)."""
+        B = children_batch.shape[0]
+        outs = []
+        for s0 in range(0, B, chunk):
+            cb = children_batch[s0 : s0 + chunk]
+            bb = blens_batch[s0 : s0 + chunk]
+            if cb.shape[0] < chunk and B > chunk:
+                pad = chunk - cb.shape[0]
+                cb = np.concatenate([cb, np.repeat(cb[:1], pad, 0)])
+                bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
+            out = _loglik_batch_impl(
+                jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
                 self.tips, self.w, n_taxa=self.n, **self._mp,
             )
-        )
+            outs.append(np.asarray(out))
+        return np.concatenate(outs)[:B]
 
     # -- per-pattern site log-likelihoods (for RELL bootstrap) ----------
     def site_loglik(self, children: np.ndarray, blens: np.ndarray) -> np.ndarray:
