@@ -136,11 +136,24 @@ class AlignmentEngine:
         p = self.params
         backend = self._backend()
         if backend == "pallas":
-            from unicore_tpu.ops.sw import sw_forward_pallas
-            best, qe, te = sw_forward_pallas(
-                qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
-                go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
-            )
+            import jax
+            devs = jax.devices()
+            if len(devs) > 1 and devs[0].platform in ("tpu", "axon") and qa.shape[0] % (len(devs) * 16) == 0:
+                # multi-chip: shard the pair batch over all local devices
+                from jax.sharding import Mesh
+                from unicore_tpu.ops.sw import sw_forward_sharded
+                mesh = Mesh(np.asarray(devs), ("dp",))
+                best, qe, te = sw_forward_sharded(
+                    qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d, mesh,
+                    go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
+                    backend="pallas",
+                )
+            else:
+                from unicore_tpu.ops.sw import sw_forward_pallas
+                best, qe, te = sw_forward_pallas(
+                    qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
+                    go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
+                )
         else:
             from unicore_tpu.ops.sw import build_scores, sw_forward_xla
             scores = build_scores(qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,

@@ -126,35 +126,40 @@ def sw_forward_xla(
 
 def _sw_kernel(
     # scalar prefetch
-    qlen_ref, tlen_ref,          # (B,) int32 SMEM
+    qlen_ref, tlen_ref,          # (B,) int32 SMEM (B = Brows * SEG pairs)
     # inputs
-    qa_ref, qs_ref,              # (BT, RB) int32 query codes (row block)
-    ta_ref, ts_ref,              # (BT, LT) int32 target codes
+    qa_ref, qs_ref,              # (BT, SEG, RB) int32 query codes (row block)
+    ta_ref, ts_ref,              # (BT, LT) int32 packed target codes
     saa_ref, s3d_ref,            # (32, 128) f32 substitution matrices
     # outputs
-    best_ref, qend_ref, tend_ref,  # (BT, 128)
+    best_ref, qend_ref, tend_ref,  # (BT, 128); column s = segment s's pair
     # scratch
     h_ref, f_ref,                # (BT, LT) f32 DP state
-    prof_ref,                    # (BT, 64, LT) bf16 target profiles
     sc_ref,                      # (BT, RB, LT) f32 score block
     bb_ref,                      # (BT, LT) f32 running per-column best
     br_ref,                      # (BT, LT) i32 row index of column best
     *,
-    BT: int, RB: int, LT: int,
+    BT: int, RB: int, LT: int, SEG: int,
     go: float, ge: float, w_aa: float, w_3di: float,
 ):
+    """Segment-packed SW: each lane row carries SEG independent pairs in
+    LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
+    tracking) is shared across the SEG pairs, and the Kogge-Stone scan
+    only needs log2(LT/SEG) steps — a ~SEG-fold throughput win for short
+    buckets.  SEG == 1 recovers the plain kernel."""
     b = pl.program_id(0)
     r = pl.program_id(1)
+    SEG_L = LT // SEG
 
     col = jax.lax.broadcasted_iota(jnp.int32, (BT, LT), 1)
-    jge = col.astype(jnp.float32) * ge
-    # hoisted loop invariants: per-step scan masks and the j==0 mask
+    col_local = col & (SEG_L - 1)          # SEG_L is a power of two
+    jge = col_local.astype(jnp.float32) * ge
     scan_masks = []
     d = 1
-    while d < LT:
-        scan_masks.append(col >= d)
+    while d < SEG_L:
+        scan_masks.append(col_local >= d)
         d *= 2
-    m0 = col == 0
+    m0 = col_local == 0
 
     @pl.when(r == 0)
     def _init():
@@ -162,53 +167,67 @@ def _sw_kernel(
         f_ref[:] = jnp.full((BT, LT), NEG, jnp.float32)
         bb_ref[:] = jnp.zeros((BT, LT), jnp.float32)
         br_ref[:] = jnp.zeros((BT, LT), jnp.int32)
-        # rows 2*NA..63 of the profile are never written below; zero them
-        # so the one-hot matmul can't pick up stale VMEM
-        prof_ref[:] = jnp.zeros_like(prof_ref)
-        # Per-pair target score profiles, once per pair:
-        #   prof[bb, a, j]      = w_aa  * SAA[a, ta[bb, j]]
-        #   prof[bb, NA + a, j] = w_3di * S3D[a, ts[bb, j]]
-        # integer-valued (< 256) -> exact in bf16.
-        arow = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 0)
-        saa = saa_ref[:NA, :NA]
-        s3d = s3d_ref[:NA, :NA]
-        for bb in range(BT):
-            oh_a = (ta_ref[bb, :][None, :] == arow).astype(jnp.float32)
-            oh_s = (ts_ref[bb, :][None, :] == arow).astype(jnp.float32)
-            pa = jnp.dot(saa, oh_a, preferred_element_type=jnp.float32) * w_aa
-            ps = jnp.dot(s3d, oh_s, preferred_element_type=jnp.float32) * w_3di
-            prof_ref[bb, :NA, :] = pa.astype(prof_ref.dtype)
-            prof_ref[bb, NA : 2 * NA, :] = ps.astype(prof_ref.dtype)
 
-    # ---- score block for this (b, r): one MXU matmul per pair ----
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (RB, 64), 1)
+    # ---- score block for this (b, r) ----
+    # Per-pair target profiles are rebuilt per row-block (cheap MXU work)
+    # instead of persisting in VMEM — the freed memory buys a larger BT,
+    # which shortens the serial DP chain per cell.
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (RB, SEG * 64), 1)
     irow = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 0) + r * RB
     colr = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 1)
+    colr_seg = colr // SEG_L
+    colr_local = colr & (SEG_L - 1)
+    arow = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 0)
+    acol = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 1)
+    saa = saa_ref[:NA, :NA]
+    s3d = s3d_ref[:NA, :NA]
     for bb in range(BT):
-        qa = qa_ref[bb, :][:, None]  # (RB, 1)
-        qs = qs_ref[bb, :][:, None]
-        oh = ((rowsel == qa) | (rowsel == qs + NA)).astype(prof_ref.dtype)
-        blk = jnp.dot(oh, prof_ref[bb, :, :], preferred_element_type=jnp.float32)
-        ql = qlen_ref[b * BT + bb]
-        tl = tlen_ref[b * BT + bb]
-        valid = (irow < ql) & (colr < tl)
+        ta_row = ta_ref[bb, :][None, :]
+        ts_row = ts_ref[bb, :][None, :]
+        oh = jnp.zeros((RB, SEG * 64), jnp.bool_)
+        valid = jnp.zeros((RB, LT), jnp.bool_)
+        profs = []
+        for s in range(SEG):
+            segm = (acol // SEG_L) == s
+            oh_a = ((ta_row == arow) & segm).astype(jnp.bfloat16)
+            oh_s = ((ts_row == arow) & segm).astype(jnp.bfloat16)
+            # integer-valued entries (< 256) -> exact in bf16
+            pa = jnp.dot(saa, oh_a.astype(jnp.float32), preferred_element_type=jnp.float32) * w_aa
+            ps = jnp.dot(s3d, oh_s.astype(jnp.float32), preferred_element_type=jnp.float32) * w_3di
+            profs.append(pa.astype(jnp.bfloat16))
+            profs.append(ps.astype(jnp.bfloat16))
+            qa = qa_ref[bb, s, :][:, None]  # (RB, 1)
+            qs = qs_ref[bb, s, :][:, None]
+            oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + NA)
+            pidx = (b * BT + bb) * SEG + s
+            ql = qlen_ref[pidx]
+            tl = tlen_ref[pidx]
+            valid = valid | ((colr_seg == s) & (irow < ql) & (colr_local < tl))
+        # pad each (NA, LT) channel block to 32 rows -> (SEG*64, LT)
+        prof = jnp.concatenate(
+            [jnp.pad(pp, ((0, 32 - NA), (0, 0))) for pp in profs], axis=0
+        )
+        blk = jnp.dot(
+            oh.astype(jnp.bfloat16), prof, preferred_element_type=jnp.float32
+        )
         sc_ref[bb, :, :] = jnp.where(valid, blk, -20000.0)
 
     # ---- DP rows ----
-    def row_body(i_local, _):
-        i_global = r * RB + i_local
-        H_prev = h_ref[:]
-        F_prev = f_ref[:]
-        s_row = sc_ref[:, i_local, :]  # (BT, LT)
+    # The row recurrence is serial, so the loop is latency-bound: Mosaic's
+    # per-iteration fori_loop overhead rivals the vector work.  Hand-unroll
+    # UNROLL rows per loop iteration (values flow in registers between the
+    # unrolled rows; h/f stores happen once per iteration).
+    UNROLL = 4
+    assert RB % UNROLL == 0
 
+    def one_row(i_global, H_prev, F_prev, s_row, BBv, BRv):
         diag = jnp.where(m0, 0.0, pltpu.roll(H_prev, shift=1, axis=1))
         F = jnp.maximum(H_prev - go, F_prev - ge)
         H0 = jnp.maximum(0.0, jnp.maximum(diag + s_row, F))
-
         t = H0 + jge
         d = 1
         k = 0
-        while d < LT:
+        while d < SEG_L:
             rolled = pltpu.roll(t, shift=d, axis=1)
             t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, NEG))
             d *= 2
@@ -216,38 +235,71 @@ def _sw_kernel(
         Pexc = jnp.where(m0, NEG, pltpu.roll(t, shift=1, axis=1))
         E = Pexc - go + ge - jge
         H = jnp.maximum(H0, E)
-
-        h_ref[:] = H
-        f_ref[:] = F
-
         # elementwise per-column best tracking (strict > keeps the
         # earliest row, giving row-major tie-breaking)
-        upd = H > bb_ref[:]
-        bb_ref[:] = jnp.where(upd, H, bb_ref[:])
-        br_ref[:] = jnp.where(upd, i_global, br_ref[:])
+        upd = H > BBv
+        BBv = jnp.where(upd, H, BBv)
+        BRv = jnp.where(upd, i_global, BRv)
+        return H, F, BBv, BRv
+
+    def row_body(iu, _):
+        i0 = iu * UNROLL
+        H = h_ref[:]
+        F = f_ref[:]
+        BBv = bb_ref[:]
+        BRv = br_ref[:]
+        for u in range(UNROLL):
+            s_row = sc_ref[:, i0 + u, :]  # (BT, LT)
+            H, F, BBv, BRv = one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv)
+        h_ref[:] = H
+        f_ref[:] = F
+        bb_ref[:] = BBv
+        br_ref[:] = BRv
         return 0
 
-    jax.lax.fori_loop(0, RB, row_body, 0)
+    jax.lax.fori_loop(0, RB // UNROLL, row_body, 0)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _emit():
-        BB = bb_ref[:]
-        ROW = br_ref[:]
-        best = jnp.max(BB, axis=1, keepdims=True)  # (BT, 1)
-        # among max-valued cells pick min (row, col): min over row*LT+col
-        key = ROW * LT + col
-        cand = BB >= best
-        minkey = jnp.min(jnp.where(cand, key, jnp.int32(2**30)), axis=1, keepdims=True)
-        qe = minkey // LT
-        te = minkey - qe * LT
-        best_ref[:] = jnp.broadcast_to(best, (BT, 128))
-        qend_ref[:] = jnp.broadcast_to(qe, (BT, 128))
-        tend_ref[:] = jnp.broadcast_to(te, (BT, 128))
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        out_b = jnp.zeros((BT, 128), jnp.float32)
+        out_q = jnp.zeros((BT, 128), jnp.int32)
+        out_t = jnp.zeros((BT, 128), jnp.int32)
+        coll = jax.lax.broadcasted_iota(jnp.int32, (BT, SEG_L), 1)
+        for s in range(SEG):
+            BB = bb_ref[:, s * SEG_L : (s + 1) * SEG_L]
+            ROW = br_ref[:, s * SEG_L : (s + 1) * SEG_L]
+            best = jnp.max(BB, axis=1, keepdims=True)  # (BT, 1)
+            # among max-valued cells pick min (row, col): row-major ties
+            key = ROW * SEG_L + coll
+            cand = BB >= best
+            minkey = jnp.min(
+                jnp.where(cand, key, jnp.int32(2**30)), axis=1, keepdims=True
+            )
+            qe = minkey // SEG_L
+            te = minkey - qe * SEG_L
+            sel = col128 == s
+            out_b = jnp.where(sel, best, out_b)
+            out_q = jnp.where(sel, qe, out_q)
+            out_t = jnp.where(sel, te, out_t)
+        best_ref[:] = out_b
+        qend_ref[:] = out_q
+        tend_ref[:] = out_t
+
+
+def _pick_segments(Lt: int) -> int:
+    if Lt <= 128:
+        return 4
+    if Lt <= 256:
+        return 2
+    return 1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret"),
+    static_argnames=(
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments",
+    ),
 )
 def sw_forward_pallas(
     qa: jnp.ndarray,    # (B, Lq) int32 AA codes (pad with X)
@@ -263,16 +315,39 @@ def sw_forward_pallas(
     w_aa: float = W_AA_INT,
     w_3di: float = W_3DI_INT,
     block_rows: int = 128,
-    batch_tile: int = 16,
+    batch_tile: int = 32,
     interpret: bool = False,
+    segments: int = 0,  # 0 = auto (pack 2-4 short pairs per lane row)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
     BT = batch_tile
+    SEG = segments or _pick_segments(Lt)
+    # pad the pair count so it reshapes into (Brows, SEG) packed rows
+    pad_to = BT * SEG
+    Bp = ((B + pad_to - 1) // pad_to) * pad_to
+    if Bp != B:
+        padn = Bp - B
+        qa = jnp.concatenate([qa, jnp.full((padn, Lq), 20, qa.dtype)])
+        qs = jnp.concatenate([qs, jnp.full((padn, Lq), 20, qs.dtype)])
+        ta = jnp.concatenate([ta, jnp.full((padn, Lt), 20, ta.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((padn, Lt), 20, ts.dtype)])
+        qlen = jnp.concatenate([qlen, jnp.ones((padn,), qlen.dtype)])
+        tlen = jnp.concatenate([tlen, jnp.ones((padn,), tlen.dtype)])
+
+    Brows = Bp // SEG
+    LTK = Lt * SEG  # packed lane width
+
+    # pack: pair p -> (row p // SEG, segment p % SEG)
+    qa_p = qa.reshape(Brows, SEG, Lq)
+    qs_p = qs.reshape(Brows, SEG, Lq)
+    ta_p = ta.reshape(Brows, SEG * Lt)
+    ts_p = ts.reshape(Brows, SEG * Lt)
+
     # Mosaic requires the trailing block dim to be a multiple of 128 or
     # equal to the full array dim
     RB = Lq if Lq <= block_rows else block_rows
-    assert B % BT == 0 and Lq % RB == 0 and Lt % 128 == 0
+    assert Brows % BT == 0 and Lq % RB == 0 and Lt % 128 == 0
     assert RB == Lq or RB % 128 == 0
 
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
@@ -280,18 +355,18 @@ def sw_forward_pallas(
 
     kernel = functools.partial(
         _sw_kernel,
-        BT=BT, RB=RB, LT=Lt,
+        BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B // BT, Lq // RB),
+        grid=(Brows // BT, Lq // RB),
         in_specs=[
-            pl.BlockSpec((BT, RB), lambda b, r, *_: (b, r)),
-            pl.BlockSpec((BT, RB), lambda b, r, *_: (b, r)),
-            pl.BlockSpec((BT, Lt), lambda b, r, *_: (b, 0)),
-            pl.BlockSpec((BT, Lt), lambda b, r, *_: (b, 0)),
+            pl.BlockSpec((BT, SEG, RB), lambda b, r, *_: (b, 0, r)),
+            pl.BlockSpec((BT, SEG, RB), lambda b, r, *_: (b, 0, r)),
+            pl.BlockSpec((BT, LTK), lambda b, r, *_: (b, 0)),
+            pl.BlockSpec((BT, LTK), lambda b, r, *_: (b, 0)),
             pl.BlockSpec((32, 128), lambda b, r, *_: (0, 0)),
             pl.BlockSpec((32, 128), lambda b, r, *_: (0, 0)),
         ],
@@ -301,12 +376,11 @@ def sw_forward_pallas(
             pl.BlockSpec((BT, 128), lambda b, r, *_: (b, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((BT, Lt), jnp.float32),
-            pltpu.VMEM((BT, Lt), jnp.float32),
-            pltpu.VMEM((BT, 64, Lt), jnp.bfloat16),
-            pltpu.VMEM((BT, RB, Lt), jnp.float32),
-            pltpu.VMEM((BT, Lt), jnp.float32),
-            pltpu.VMEM((BT, Lt), jnp.int32),
+            pltpu.VMEM((BT, LTK), jnp.float32),
+            pltpu.VMEM((BT, LTK), jnp.float32),
+            pltpu.VMEM((BT, RB, LTK), jnp.float32),
+            pltpu.VMEM((BT, LTK), jnp.float32),
+            pltpu.VMEM((BT, LTK), jnp.int32),
         ],
     )
 
@@ -314,14 +388,18 @@ def sw_forward_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Brows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Brows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Brows, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(qlen, tlen, qa, qs, ta, ts, saa_p, s3d_p)
+    )(qlen, tlen, qa_p, qs_p, ta_p, ts_p, saa_p, s3d_p)
 
-    return best[:, 0], qend[:, 0], tend[:, 0]
+    # unpack: pair p at [p // SEG, p % SEG]
+    best = best[:, :SEG].reshape(-1)[:B]
+    qend = qend[:, :SEG].reshape(-1)[:B]
+    tend = tend[:, :SEG].reshape(-1)[:B]
+    return best, qend, tend
 
 
 # ---------------------------------------------------------------------------

@@ -69,9 +69,8 @@ def loss_fn(params, cfg: T5Config, tokens, mask, labels):
 def make_train_step(cfg: T5Config, mesh: Mesh, lr: float = 1e-4):
     """Jitted sharded train step: (params, opt_state, batch) -> ..."""
     opt = optax.adam(lr)
-    pspecs = param_pspecs_placeholder = None  # filled at first call
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def step(params, opt_state, tokens, mask, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, mask, labels)
         updates, opt_state = opt.update(grads, opt_state)
