@@ -65,6 +65,23 @@ def test_pallas_interpret_matches_numpy():
             assert (bi[b], bj[b]) == (ri, rj), f"pair {b} end"
 
 
+def test_pallas_interpret_seg1():
+    """Unsegmented (SEG=1) kernel path under the interpreter."""
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 64, 256)
+    best, bi, bj = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True, segments=1,
+    )
+    best, bi, bj = np.array(best), np.array(bi), np.array(bj)
+    scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
+    for b, (rb, ri, rj) in enumerate(_ref_ends(scores, qlen, tlen)):
+        assert best[b] == pytest.approx(rb), f"pair {b} score"
+        if rb > 0:
+            assert (bi[b], bj[b]) == (ri, rj), f"pair {b} end"
+
+
 def test_traceback_consistent_with_forward():
     saa = BLOSUM62.astype(np.float32)
     s3d = default_3di_matrix().astype(np.float32)

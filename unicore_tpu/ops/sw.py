@@ -198,7 +198,8 @@ def _sw_kernel(
             profs.append(ps.astype(jnp.bfloat16))
             qa = qa_ref[bb, s, :][:, None]  # (RB, 1)
             qs = qs_ref[bb, s, :][:, None]
-            oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + NA)
+            # channel blocks are padded to 32 rows each: AA at s*64, 3Di at s*64+32
+            oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + 32)
             pidx = (b * BT + bb) * SEG + s
             ql = qlen_ref[pidx]
             tl = tlen_ref[pidx]

@@ -193,14 +193,20 @@ class TreeEngine:
         from unicore_tpu.phylo.likelihood import make_root_binary, tree_to_arrays
         from unicore_tpu.phylo.search import copy_tree
 
-        # candidate set: all topologies visited during search (dedup by
-        # bipartitions via newick string of sorted form), plus the final
+        # candidate set: topologies visited during search plus the final
+        # tree's NNI neighborhood (richer RELL vote set, UFBoot-style),
+        # deduplicated by bipartition sets
+        from unicore_tpu.phylo.search import nni_neighbors
+
         cands: List[Node] = []
         site_lls: List[np.ndarray] = []
         seen = set()
-        visited = search.visited[-64:]  # cap
-        cb, bb = tree_to_arrays(make_root_binary(copy_tree(best_tree)), engine.names)
+        visited = search.visited[-48:]  # cap
+        rooted_best = make_root_binary(copy_tree(best_tree))
+        cb, bb = tree_to_arrays(rooted_best, engine.names)
         visited = visited + [(cb, bb, 0.0)]
+        for t in nni_neighbors(rooted_best)[:48]:
+            visited.append(tree_to_arrays(t, engine.names) + (0.0,))
         for children, blens, _ in visited:
             t = arrays_to_tree(children, blens, engine.names)
             from unicore_tpu.phylo.newick import bipartitions
