@@ -49,6 +49,9 @@ def cluster_db(db: SeqDB, params: AlignParams):
 
     qlen = np.array([len(a) for a in q_aa])
     kept = engine.gate(hits, qlen, qlen)
+    if params.min_seq_id > 0:
+        engine.traceback_fill(kept, q_aa, q_ss, q_aa, q_ss)
+        kept = [h for h in kept if h.fident >= params.min_seq_id]
     edges = [(h.qidx, h.tidx) for h in kept]
     clusters = greedy_set_cover(n, edges)
     msg.println_message(f"{len(clusters)} clusters from {n} sequences", 3)

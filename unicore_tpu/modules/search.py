@@ -44,6 +44,8 @@ def search_dbs(query_db: SeqDB, target_db: SeqDB, params: AlignParams):
     tlen = np.array([len(a) for a in t_aa])
     kept = engine.gate(hits, qlen, tlen)
     engine.traceback_fill(kept, q_aa, q_ss, t_aa, t_ss)
+    if params.min_seq_id > 0:
+        kept = [h for h in kept if h.fident >= params.min_seq_id]
     kept.sort(key=lambda h: (h.qidx, h.evalue, -h.score, h.tidx))
     return kept
 
