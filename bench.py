@@ -36,7 +36,7 @@ def main() -> int:
     s3d = default_3di_matrix().astype(np.float32)
 
     if on_tpu:
-        B, L, iters = 1024, 1024, 20
+        B, L, iters = 2048, 512, 20
     else:
         B, L, iters = 64, 128, 2
 

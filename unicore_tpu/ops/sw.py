@@ -316,14 +316,20 @@ def sw_forward_pallas(
     w_aa: float = W_AA_INT,
     w_3di: float = W_3DI_INT,
     block_rows: int = 128,
-    batch_tile: int = 32,
+    batch_tile: int = 0,  # 0 = auto (largest tile fitting VMEM)
     interpret: bool = False,
     segments: int = 0,  # 0 = auto (pack 2-4 short pairs per lane row)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
-    BT = batch_tile
     SEG = segments or _pick_segments(Lt)
+    if batch_tile:
+        BT = batch_tile
+    else:
+        # score scratch (BT, RB, SEG*Lt) f32 is the VMEM driver; keep it
+        # within ~8 MB so DP state + double-buffered inputs still fit
+        rb = Lq if Lq <= block_rows else block_rows
+        BT = max(8, min(32, (8 * 1024 * 1024 // (rb * SEG * Lt * 4)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
