@@ -48,7 +48,7 @@ def _measure() -> None:
     s3d = default_3di_matrix().astype(np.float32)
 
     if on_tpu:
-        B, L, iters = 2048, 512, 20
+        B, L, iters = 2048, 512, 10
         dsaa, ds3d = jnp.asarray(saa), jnp.asarray(s3d)
         qa = jnp.asarray(rng.randint(0, 20, (B, L)).astype(np.int32))
         qs = jnp.asarray(rng.randint(0, 20, (B, L)).astype(np.int32))
@@ -66,7 +66,7 @@ def _measure() -> None:
 
         jax.block_until_ready(loop(jnp.int32(0), n=iters))  # compile+warm
         times = []
-        for seed in (1000, 2000, 3000):
+        for seed in (1000, 2000):
             t0 = time.time()
             jax.block_until_ready(loop(jnp.int32(seed), n=iters))
             times.append(time.time() - t0)
@@ -106,11 +106,11 @@ def main() -> int:
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     last_line = None
-    for attempt in range(4):
+    for attempt in range(6):
         try:
             r = subprocess.run(
                 [sys.executable, "-u", "-c", "import bench; bench._measure()"],
-                cwd=here, env=env, capture_output=True, text=True, timeout=240,
+                cwd=here, env=env, capture_output=True, text=True, timeout=180,
             )
             for ln in (r.stdout or "").strip().splitlines():
                 if ln.startswith("{"):
@@ -118,7 +118,8 @@ def main() -> int:
             if last_line:
                 break
         except subprocess.TimeoutExpired:
-            continue
+            print(f"bench attempt {attempt + 1} timed out (device claim wedged); retrying", file=sys.stderr)
+        time.sleep(10)
     if last_line is None:
         # all attempts wedged/failed — report honestly with zero value
         last_line = json.dumps({

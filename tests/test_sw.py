@@ -8,7 +8,7 @@ from unicore_tpu.ops.sw import build_scores, sw_forward_pallas, sw_forward_xla
 from unicore_tpu.ops.sw_ref import sw_forward_ref, sw_traceback_ref
 
 RNG = np.random.RandomState(7)
-GO, GE = 100.0, 10.0
+GO, GE = 28.0, 3.0
 
 
 def _random_pairs(B, Lq, Lt, minlen=10):
@@ -116,6 +116,6 @@ def test_identical_sequences_high_score():
     )
     best, bi, bj = sw_forward_xla(scores, go=GO, ge=GE)
     # self alignment: ends at the last cell, score = sum of diagonal scores
-    expected = float(sum(14 * saa[a[i], a[i]] + 21 * s3d[s[i], s[i]] for i in range(L)))
+    expected = float(sum(4 * saa[a[i], a[i]] + 6 * s3d[s[i], s[i]] for i in range(L)))
     assert float(best[0]) == pytest.approx(expected)
     assert (int(bi[0]), int(bj[0])) == (L - 1, L - 1)

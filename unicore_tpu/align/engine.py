@@ -35,9 +35,10 @@ from unicore_tpu.runtime import logging as msg
 
 @dataclass
 class AlignParams:
-    # integer scoring units: 10x Foldseek's (1.4 AA : 2.1 3Di, gap 10/1)
-    gap_open: float = 100.0
-    gap_extend: float = 10.0
+    # integer scoring units (see ops/sw.py): foldseek (1.4, 2.1, 10, 1)
+    # mapped to (4, 6, 28, 3)
+    gap_open: float = 28.0
+    gap_extend: float = 3.0
     w_aa: float = W_AA
     w_3di: float = W_3DI
     coverage: float = 0.8
@@ -71,10 +72,11 @@ class AlignParams:
             elif t == "--min-seq-id":
                 p.min_seq_id = float(val())
             elif t == "--gap-open":
-                # user options use foldseek units; internal scoring is 10x
-                p.gap_open = float(val()) * 10.0
+                # user options use foldseek units; internal units are
+                # ~2.857x (aa weight 4 vs foldseek's 1.4)
+                p.gap_open = round(float(val()) * 2.8571)
             elif t == "--gap-extend":
-                p.gap_extend = float(val()) * 10.0
+                p.gap_extend = round(float(val()) * 2.8571)
             elif t in ("--threads", "-v", "--max-seqs", "-s"):
                 val()  # accepted, handled elsewhere / ignored
             i += 1

@@ -106,11 +106,12 @@ def get_aa_matrix() -> np.ndarray:
     return BLOSUM62
 
 
-# Foldseek-style combined weighting (3Di : AA = 2.1 : 1.4), expressed in
-# 10x integer units (21 : 14, gaps 100/10) so every combined score is an
-# integer — exact under bf16 MXU arithmetic (see ops/sw.py docstring)
-W_3DI = 21.0
-W_AA = 14.0
+# Foldseek-style combined weighting (3Di : AA = 2.1 : 1.4 = 3 : 2),
+# expressed in small integer units (6 : 4, gaps 28/3) so every combined
+# cell score is a small integer — exact under bf16 MXU arithmetic and in
+# bf16 score storage (see ops/sw.py docstring)
+W_3DI = 6.0
+W_AA = 4.0
 
 
 def combined_matrix(w_3di: float = W_3DI, w_aa: float = W_AA) -> Optional[np.ndarray]:

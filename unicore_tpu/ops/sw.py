@@ -60,11 +60,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 NA = 21  # alphabet size (20 + X) for both AA and 3Di channels
 
-# default integer scoring units (10x Foldseek's 1.4/2.1 with gap 10/1)
-W_AA_INT = 14.0
-W_3DI_INT = 21.0
-GAP_OPEN_INT = 100.0
-GAP_EXTEND_INT = 10.0
+# Default integer scoring units: Foldseek weights ~(1.4 AA : 2.1 3Di,
+# gap 10/1) mapped to small integers (4 : 6, gap 28/3).  Ratios: AA:3Di
+# exactly 2:3 (= 1.4:2.1); gap-open/aa-unit 7.0 (foldseek 7.14);
+# extend/aa-unit 0.75 (foldseek 0.71).  Small integers keep every cell
+# score below 128, so the score block stores exactly in bf16 (half the
+# VMEM of f32), which doubles the usable batch tile.
+W_AA_INT = 4.0
+W_3DI_INT = 6.0
+GAP_OPEN_INT = 28.0
+GAP_EXTEND_INT = 3.0
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +140,8 @@ def _sw_kernel(
     best_ref, qend_ref, tend_ref,  # (BT, 128); column s = segment s's pair
     # scratch
     h_ref, f_ref,                # (BT, LT) f32 DP state
-    sc_ref,                      # (BT, RB, LT) f32 score block
+    sc_ref,                      # (BT, RB, LT) bf16 score block (small
+                                 # integer scores are bf16-exact)
     bb_ref,                      # (BT, LT) f32 running per-column best
     br_ref,                      # (BT, LT) i32 row index of column best
     *,
@@ -211,7 +217,7 @@ def _sw_kernel(
         blk = jnp.dot(
             oh.astype(jnp.bfloat16), prof, preferred_element_type=jnp.float32
         )
-        sc_ref[bb, :, :] = jnp.where(valid, blk, -20000.0)
+        sc_ref[bb, :, :] = jnp.where(valid, blk, -20000.0).astype(sc_ref.dtype)
 
     # ---- DP rows ----
     # The row recurrence is serial, so the loop is latency-bound: Mosaic's
@@ -250,7 +256,7 @@ def _sw_kernel(
         BBv = bb_ref[:]
         BRv = br_ref[:]
         for u in range(UNROLL):
-            s_row = sc_ref[:, i0 + u, :]  # (BT, LT)
+            s_row = sc_ref[:, i0 + u, :].astype(jnp.float32)  # (BT, LT)
             H, F, BBv, BRv = one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv)
         h_ref[:] = H
         f_ref[:] = F
@@ -326,10 +332,10 @@ def sw_forward_pallas(
     if batch_tile:
         BT = batch_tile
     else:
-        # score scratch (BT, RB, SEG*Lt) f32 is the VMEM driver; keep it
+        # score scratch (BT, RB, SEG*Lt) bf16 is the VMEM driver; keep it
         # within ~8 MB so DP state + double-buffered inputs still fit
         rb = Lq if Lq <= block_rows else block_rows
-        BT = max(8, min(32, (8 * 1024 * 1024 // (rb * SEG * Lt * 4)) // 8 * 8))
+        BT = max(8, min(64, (8 * 1024 * 1024 // (rb * SEG * Lt * 2)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
@@ -385,7 +391,7 @@ def sw_forward_pallas(
         scratch_shapes=[
             pltpu.VMEM((BT, LTK), jnp.float32),
             pltpu.VMEM((BT, LTK), jnp.float32),
-            pltpu.VMEM((BT, RB, LTK), jnp.float32),
+            pltpu.VMEM((BT, RB, LTK), jnp.bfloat16),
             pltpu.VMEM((BT, LTK), jnp.float32),
             pltpu.VMEM((BT, LTK), jnp.int32),
         ],
