@@ -133,8 +133,10 @@ def test_custom_lookup_split(tmp_path):
 
 def test_config_check_runs(capsys):
     from unicore_tpu.modules import config as config_mod
+    from unicore_tpu.runtime import logging as msg
     from types import SimpleNamespace
 
+    msg.set_verbosity(3)  # other tests may lower the global level
     config_mod.run(SimpleNamespace(config_check=True))
     out = capsys.readouterr().out
     assert "foldseek" in out and "iqtree" in out

@@ -305,7 +305,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype",
     ),
 )
 def sw_forward_pallas(
@@ -324,7 +324,9 @@ def sw_forward_pallas(
     block_rows: int = 128,
     batch_tile: int = 0,  # 0 = auto (largest tile fitting VMEM)
     interpret: bool = False,
-    segments: int = 0,  # 0 = auto (pack 2-4 short pairs per lane row)
+    segments: int = 0,
+    score_dtype: str = "bf16",  # "bf16" | "f32" (escape hatch for Mosaic
+                                # lowering regressions on 16-bit scratch)  # 0 = auto (pack 2-4 short pairs per lane row)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -332,10 +334,11 @@ def sw_forward_pallas(
     if batch_tile:
         BT = batch_tile
     else:
-        # score scratch (BT, RB, SEG*Lt) bf16 is the VMEM driver; keep it
+        # score scratch (BT, RB, SEG*Lt) is the VMEM driver; keep it
         # within ~8 MB so DP state + double-buffered inputs still fit
+        sc_bytes = 2 if score_dtype == "bf16" else 4
         rb = Lq if Lq <= block_rows else block_rows
-        BT = max(8, min(64, (8 * 1024 * 1024 // (rb * SEG * Lt * 2)) // 8 * 8))
+        BT = max(8, min(64, (8 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
@@ -391,7 +394,7 @@ def sw_forward_pallas(
         scratch_shapes=[
             pltpu.VMEM((BT, LTK), jnp.float32),
             pltpu.VMEM((BT, LTK), jnp.float32),
-            pltpu.VMEM((BT, RB, LTK), jnp.bfloat16),
+            pltpu.VMEM((BT, RB, LTK), jnp.bfloat16 if score_dtype == "bf16" else jnp.float32),
             pltpu.VMEM((BT, LTK), jnp.float32),
             pltpu.VMEM((BT, LTK), jnp.int32),
         ],
