@@ -106,11 +106,11 @@ def main() -> int:
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     last_line = None
-    for attempt in range(6):
+    for attempt in range(5):
         try:
             r = subprocess.run(
                 [sys.executable, "-u", "-c", "import bench; bench._measure()"],
-                cwd=here, env=env, capture_output=True, text=True, timeout=180,
+                cwd=here, env=env, capture_output=True, text=True, timeout=330,
             )
             for ln in (r.stdout or "").strip().splitlines():
                 if ln.startswith("{"):

@@ -9,6 +9,10 @@ mesh via XLA_FLAGS=--xla_force_host_platform_device_count=N):
 
 Prints one JSON line per measurement plus a scaling-efficiency summary.
 Run: python scripts/scaling_bench.py [--seqs 512] [--len 384]
+
+Note: on the virtual CPU mesh all "devices" share one physical CPU, so
+the efficiency numbers there only validate the sharding plumbing; real
+scaling measurements require an actual multi-chip slice.
 """
 
 from __future__ import annotations

@@ -55,6 +55,34 @@ def test_genetree_runs_per_gene(tmp_path):
         assert sorted(l.name for l in t.leaves()) == ["sp1", "sp2", "sp3", "sp4"]
 
 
+def test_genetree_realign(tmp_path):
+    """--realign recomputes the MSA from aa.fasta/3di.fasta before trees."""
+    from unicore_tpu.modules import genetree
+
+    fasta_dir = tmp_path / "fasta"
+    gd = fasta_dir / "geneA"
+    gd.mkdir(parents=True)
+    seqs = {
+        "sp1": "MKVLITGGGSGIGL",
+        "sp2": "MKVLITGGSGIGL",
+        "sp3": "MKVLITGGGSGIGL",
+    }
+    with open(gd / "aa.fasta", "w") as f:
+        for h, s in seqs.items():
+            f.write(f">{h}\n{s}\n")
+    with open(gd / "3di.fasta", "w") as f:
+        for h, s in seqs.items():
+            f.write(f">{h}\n{'D' * len(s)}\n")
+
+    genetree.run(_gt_args(tmp_path, genetree_realign=True, genetree_threshold=0))
+
+    msa = (gd / "geneA.fa.filtered").read_text()
+    assert msa.startswith(">")
+    lens = {len(l) for l in msa.splitlines() if not l.startswith(">")}
+    assert len(lens) == 1  # aligned to equal length
+    assert (gd / "fasttree.nwk").exists()
+
+
 def test_genetree_name_filter(tmp_path):
     from unicore_tpu.modules import genetree
 
