@@ -338,7 +338,9 @@ def sw_forward_pallas(
         # within ~8 MB so DP state + double-buffered inputs still fit
         sc_bytes = 2 if score_dtype == "bf16" else 4
         rb = Lq if Lq <= block_rows else block_rows
-        BT = max(8, min(64, (8 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
+        # cap at 32: compile time grows with BT (the score stage is an
+        # unrolled python loop over the tile); 64 is reachable explicitly
+        BT = max(8, min(32, (8 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
