@@ -39,15 +39,16 @@ DEFAULT_TREE_OPTIONS = {
 
 
 def _msa_engine(aligner: str, options):
-    from unicore_tpu.msa.progressive import ProgressiveMSA
+    """Resolve the MSA engine through the registry (lets tests and
+    engines.cfg swap implementations, the analog of path.cfg)."""
+    from unicore_tpu.runtime import registry
 
-    if aligner == "foldmason":
-        return ProgressiveMSA(mode="3di+aa")
-    if aligner == "mafft":
-        return ProgressiveMSA(mode="aa")
-    if aligner == "mafft-linsi":
-        return ProgressiveMSA(mode="aa", refine_iters=2)
-    err.error(err.ERR_GENERAL, "Unrecognized aligner")
+    if aligner not in ("foldmason", "mafft", "mafft-linsi"):
+        err.error(err.ERR_GENERAL, "Unrecognized aligner")
+    factory = registry.get(aligner)
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, aligner)
+    return factory()
 
 
 def run_aligner(
@@ -86,15 +87,18 @@ def run_aligner(
 def run_tree_builder(
     tree_builder: str, output_dir: str, msa_fasta: str, tree_options, threads: int = 0
 ) -> str:
-    from unicore_tpu.phylo.engine import TreeEngine
+    from unicore_tpu.runtime import registry
 
     if tree_builder not in DEFAULT_TREE_OPTIONS and tree_builder != "raxml":
         err.error(err.ERR_GENERAL, "Unrecognized tree builder")
     options = tree_options if tree_options else DEFAULT_TREE_OPTIONS.get(
         tree_builder, DEFAULT_TREE_OPTIONS["iqtree"]
     )
-    schedule = "raxml-ng" if tree_builder == "raxml" else tree_builder
-    engine = TreeEngine(schedule=schedule)
+    name = "raxml-ng" if tree_builder == "raxml" else tree_builder
+    factory = registry.get(name)
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, name)
+    engine = factory()
     return engine.run_file(msa_fasta, output_dir, options=options, threads=threads)
 
 
