@@ -459,7 +459,10 @@ def sw_forward_sharded(
     B must be divisible by (n_devices * batch_tile).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
 
