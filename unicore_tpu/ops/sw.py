@@ -460,9 +460,11 @@ def sw_forward_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     try:
-        from jax import shard_map
+        from jax import shard_map as _sm
+        _sm_kw = {"check_vma": False}
     except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+        from jax.experimental.shard_map import shard_map as _sm
+        _sm_kw = {"check_rep": False}
 
     axis = mesh.axis_names[0]
 
@@ -485,12 +487,12 @@ def sw_forward_sharded(
             s = jnp.where(mask, s.astype(jnp.float32), NEG)
             return sw_forward_xla(s, go=go, ge=ge)
 
-    fn = shard_map(
+    fn = _sm(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
-        check_rep=False,
+        **_sm_kw,
     )
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
