@@ -92,6 +92,7 @@ class TreeEngine:
             model_str = model_str or "JTT+F+I+G"
             n_boot = n_boot or 0
 
+        partition_file = opts.get("-p") or opts.get("-q")
         names = list(msa.keys())
         seqs = [msa[n] for n in names]
         if len(names) < 2:
@@ -112,10 +113,23 @@ class TreeEngine:
         model = SubstModel.build(spec, empirical_freqs=freqs, alpha=1.0, p_inv=0.02 if spec.plus_i else 0.0)
 
         t0 = time.time()
-        engine = LikelihoodEngine(names, seqs, model)
-        msg.println_message(
-            f"  {len(names)} taxa, {engine.L} sites, {engine.patterns.shape[1]} patterns", 4
-        )
+        if partition_file:
+            from unicore_tpu.phylo.partition import (
+                PartitionedLikelihoodEngine, parse_partition_file,
+            )
+            parts = parse_partition_file(partition_file)
+            engine = PartitionedLikelihoodEngine(
+                names, seqs, parts, spec=spec,
+                alpha=1.0, p_inv=0.02 if spec.plus_i else 0.0,
+            )
+            msg.println_message(
+                f"  {len(names)} taxa, {engine.L} sites, {engine.G} partitions", 4
+            )
+        else:
+            engine = LikelihoodEngine(names, seqs, model)
+            msg.println_message(
+                f"  {len(names)} taxa, {engine.L} sites, {engine.patterns.shape[1]} patterns", 4
+            )
 
         # starting tree(s)
         D = protein_distances(names, seqs)
@@ -142,7 +156,10 @@ class TreeEngine:
         info = {
             "n_taxa": len(names),
             "n_sites": engine.L,
-            "n_patterns": int(engine.patterns.shape[1]),
+            "n_patterns": int(
+                engine.patterns.shape[1] if hasattr(engine, "patterns") else len(engine.weights)
+            ),
+            "n_partitions": getattr(engine, "G", 1),
             "lnL": best_ll,
             "alpha": model.alpha,
             "p_inv": model.p_inv,
