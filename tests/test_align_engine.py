@@ -110,3 +110,33 @@ def test_evalue_monotone():
     e1 = evalue(np.array([50.0]), 300, 1e6, lam)
     e2 = evalue(np.array([100.0]), 300, 1e6, lam)
     assert e2 < e1
+
+
+def test_cascaded_cluster_small():
+    """Cascade path (forced low threshold) groups families like the
+    single-round path."""
+    from unicore_tpu.io.seqdb import SeqDB
+    from unicore_tpu.modules.cluster import cluster_db
+
+    rng = np.random.RandomState(11)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    tdi = "ACDEFGHIKLMNPQRSTVWY"
+    names, aa, ss = [], [], []
+    for fam in range(4):
+        base_aa = "".join(rng.choice(list(letters), 70))
+        base_ss = "".join(rng.choice(list(tdi), 70))
+        for k in range(5):
+            s = list(base_aa)
+            for _ in range(2):
+                s[rng.randint(70)] = rng.choice(list(letters))
+            names.append(f"f{fam}_m{k}")
+            aa.append("".join(s))
+            ss.append(base_ss)
+    db = SeqDB(names=names, aa_seqs=aa, ss_seqs=ss)
+    clusters, _ = cluster_db(db, _params(), cascade_threshold=10)
+    # every family ends up in one cluster
+    fam_of = lambda i: names[i].split("_")[0]
+    for rep, members in clusters.items():
+        fams = {fam_of(m) for m in members}
+        assert len(fams) == 1, (rep, members)
+    assert len(clusters) == 4

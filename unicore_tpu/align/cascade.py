@@ -1,0 +1,140 @@
+"""Cascaded clustering for large databases (linclust-style round 1).
+
+Single-round all-vs-all SW is O(N^2); beyond a few thousand sequences the
+TPU-native cascade bounds it to O(N + R^2):
+
+  1. greedy canopy assignment: sequences (longest first, in chunks) are
+     matched against the current representative set with one
+     (chunk, D) x (D, R) MXU matmul of hashed k-mer bags; a sequence
+     joins the best representative above the chance-corrected threshold,
+     else it becomes a new representative
+  2. verification: SW on the (member, representative) candidate pairs —
+     O(N) pairs — keeps only members passing coverage/E-value
+  3. representative merge: the normal prefilter + SW + greedy-set-cover
+     pipeline over the R representatives (R << N) merges clusters whose
+     representatives are themselves homologous
+
+Members of a merged representative follow it into the final cluster
+(cascade semantics as in mmseqs cascaded clustering).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from unicore_tpu.align.prefilter import DEFAULT_DIM, featurize
+from unicore_tpu.runtime import logging as msg
+
+
+def canopy_assign(
+    aa_seqs: List[str], ss_seqs: List[str],
+    dim: int = DEFAULT_DIM, chunk: int = 2048,
+    coverage: float = 0.8,
+) -> Tuple[List[int], Dict[int, List[int]]]:
+    """Greedy length-sorted canopy pass.
+
+    Returns (representative indices, {rep: [candidate members]}).
+    """
+    import jax.numpy as jnp
+
+    N = len(aa_seqs)
+    feats = featurize(aa_seqs, ss_seqs, dim=dim)
+    kbits = feats.sum(axis=1)
+    lens = np.array([len(s) for s in aa_seqs])
+    order = np.argsort(-lens, kind="stable")
+
+    reps: List[int] = []
+    members: Dict[int, List[int]] = {}
+    rep_feats: List[np.ndarray] = []
+
+    for c0 in range(0, N, chunk):
+        idxs = order[c0 : c0 + chunk]
+        if reps:
+            R = np.stack(rep_feats)  # (R, dim)
+            shared = np.asarray(jnp.dot(jnp.asarray(feats[idxs]), jnp.asarray(R.T)))
+            expected = kbits[idxs][:, None] * kbits[reps][None, :] / dim
+            excess = shared - expected - 3.0 * np.sqrt(expected + 1.0)
+            # length-ratio bound implied by bidirectional coverage
+            lr = (
+                np.minimum(lens[idxs][:, None], lens[reps][None, :])
+                / np.maximum(lens[idxs][:, None], lens[reps][None, :])
+            )
+            excess = np.where(lr >= coverage, excess, -1.0)
+            best = np.argmax(excess, axis=1)
+            ok = excess[np.arange(len(idxs)), best] >= 2.0
+        else:
+            ok = np.zeros(len(idxs), bool)
+            best = np.zeros(len(idxs), int)
+
+        for ii, i in enumerate(idxs):
+            if ok[ii]:
+                members[reps[best[ii]]].append(int(i))
+            else:
+                reps.append(int(i))
+                rep_feats.append(feats[i])
+                members[int(i)] = []
+        msg.print_message(f"\rCanopy pass {min(c0 + chunk, N)}/{N} ({len(reps)} reps)...", 3)
+    msg.println_message(" Done", 3)
+    return reps, members
+
+
+def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
+    """Full cascade; returns ({rep: members}, rep-level hits)."""
+    from unicore_tpu.align.clustering import greedy_set_cover
+    from unicore_tpu.align.engine import AlignmentEngine, encode_db
+    from unicore_tpu.align.prefilter import candidate_pairs
+
+    n = len(db)
+    reps, cand_members = canopy_assign(db.aa_seqs, db.ss_seqs, coverage=params.coverage)
+    msg.println_message(f"Cascade: {len(reps)} canopy representatives for {n} sequences", 3)
+
+    q_aa, q_ss = encode_db(db.aa_seqs, db.ss_seqs)
+    engine = AlignmentEngine(params)
+    qlen = np.array([len(a) for a in q_aa])
+
+    # --- verify (member, rep) assignments with SW ---
+    pairs = [(m, r) for r, ms in cand_members.items() for m in ms]
+    verified: Dict[int, List[int]] = {r: [] for r in reps}
+    unassigned: List[int] = []
+    if pairs:
+        hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
+        kept = {(h.qidx, h.tidx) for h in engine.gate(hits, qlen, qlen)}
+        for (m, r) in pairs:
+            if (m, r) in kept:
+                verified[r].append(m)
+            else:
+                unassigned.append(m)
+    # unverified members become their own singletons (round-2 candidates)
+    for m in unassigned:
+        verified.setdefault(m, [])
+        if m not in reps:
+            reps.append(m)
+
+    # --- representative round: normal prefilter + SW + set cover ---
+    rep_aa = [db.aa_seqs[r] for r in reps]
+    rep_ss = [db.ss_seqs[r] for r in reps]
+    rpairs = candidate_pairs(
+        rep_aa, rep_ss,
+        min_shared=params.min_shared_kmers,
+        coverage=params.coverage if params.cov_mode == 0 else 0.0,
+    )
+    r_aa, r_ss = encode_db(rep_aa, rep_ss)
+    rhits = engine.align_pairs(r_aa, r_ss, r_aa, r_ss, rpairs)
+    rlen = np.array([len(a) for a in r_aa])
+    rkept = engine.gate(rhits, rlen, rlen)
+    redges = [(h.qidx, h.tidx) for h in rkept]
+    rclusters = greedy_set_cover(len(reps), redges)
+
+    # --- merge: members follow their representative ---
+    final: Dict[int, List[int]] = {}
+    for rrep_local, rmembers_local in rclusters.items():
+        root = reps[rrep_local]
+        out = []
+        for rl in rmembers_local:
+            r_global = reps[rl]
+            out.append(r_global)
+            out.extend(verified.get(r_global, []))
+        final[root] = sorted(set(out))
+    return final, rkept

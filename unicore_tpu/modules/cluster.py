@@ -27,11 +27,21 @@ from unicore_tpu.runtime import logging as msg
 import numpy as np
 
 
-def cluster_db(db: SeqDB, params: AlignParams):
+CASCADE_THRESHOLD = 5000  # above this, use the linclust-style cascade
+
+
+def cluster_db(db: SeqDB, params: AlignParams, cascade_threshold: int = CASCADE_THRESHOLD):
     """Run the clustering compute; returns ({rep: members}, hits)."""
     n = len(db)
     if not db.has_ss:
         err.error(err.ERR_DB_INVALID, "3Di sequences required for structural clustering")
+
+    if n > cascade_threshold:
+        from unicore_tpu.align.cascade import cascaded_cluster
+        msg.println_message(f"Using cascaded clustering for {n} sequences", 3)
+        clusters, kept = cascaded_cluster(db, params)
+        msg.println_message(f"{len(clusters)} clusters from {n} sequences", 3)
+        return clusters, kept
 
     msg.print_message("Prefiltering candidate pairs...", 3)
     pairs = candidate_pairs(
