@@ -68,13 +68,33 @@ def canopy_assign(
             ok = np.zeros(len(idxs), bool)
             best = np.zeros(len(idxs), int)
 
+        # within-chunk pass: sequences may match representatives created
+        # earlier in the same chunk (the cross-chunk matmul cannot see
+        # them); small serial dot products against the chunk-local reps
+        local_reps: List[int] = []
         for ii, i in enumerate(idxs):
             if ok[ii]:
                 members[reps[best[ii]]].append(int(i))
-            else:
+                continue
+            assigned = False
+            if local_reps:
+                lr_feats = np.stack([feats[r] for r in local_reps])
+                shared_l = lr_feats @ feats[i]
+                expected_l = kbits[i] * kbits[local_reps] / dim
+                excess_l = shared_l - expected_l - 3.0 * np.sqrt(expected_l + 1.0)
+                ratio = np.minimum(lens[i], lens[local_reps]) / np.maximum(
+                    lens[i], lens[local_reps]
+                )
+                excess_l = np.where(ratio >= coverage, excess_l, -1.0)
+                bl = int(np.argmax(excess_l))
+                if excess_l[bl] >= 2.0:
+                    members[local_reps[bl]].append(int(i))
+                    assigned = True
+            if not assigned:
                 reps.append(int(i))
                 rep_feats.append(feats[i])
                 members[int(i)] = []
+                local_reps.append(int(i))
         msg.print_message(f"\rCanopy pass {min(c0 + chunk, N)}/{N} ({len(reps)} reps)...", 3)
     msg.println_message(" Done", 3)
     return reps, members
