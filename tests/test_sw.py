@@ -119,3 +119,20 @@ def test_identical_sequences_high_score():
     expected = float(sum(4 * saa[a[i], a[i]] + 6 * s3d[s[i], s[i]] for i in range(L)))
     assert float(best[0]) == pytest.approx(expected)
     assert (int(bi[0]), int(bj[0])) == (L - 1, L - 1)
+
+
+def test_pallas_gap_window_interpret():
+    """Windowed scan equals full scan when no optimal gap exceeds it."""
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 128, 128)
+    full = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True,
+    )
+    win = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True, gap_window=64,
+    )
+    for a, b in zip(full, win):
+        assert (np.array(a) == np.array(b)).all()

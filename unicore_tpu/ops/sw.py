@@ -147,6 +147,7 @@ def _sw_kernel(
     *,
     BT: int, RB: int, LT: int, SEG: int,
     go: float, ge: float, w_aa: float, w_3di: float,
+    gap_window: int = 0,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
@@ -160,9 +161,11 @@ def _sw_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (BT, LT), 1)
     col_local = col & (SEG_L - 1)          # SEG_L is a power of two
     jge = col_local.astype(jnp.float32) * ge
+    # scan depth: full segment, or the (exact for gaps < window) cap
+    scan_limit = SEG_L if not gap_window else min(SEG_L, gap_window)
     scan_masks = []
     d = 1
-    while d < SEG_L:
+    while d < scan_limit:
         scan_masks.append(col_local >= d)
         d *= 2
     m0 = col_local == 0
@@ -234,7 +237,7 @@ def _sw_kernel(
         t = H0 + jge
         d = 1
         k = 0
-        while d < SEG_L:
+        while d < scan_limit:
             rolled = pltpu.roll(t, shift=d, axis=1)
             t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, NEG))
             d *= 2
@@ -305,7 +308,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window",
     ),
 )
 def sw_forward_pallas(
@@ -326,7 +329,11 @@ def sw_forward_pallas(
     interpret: bool = False,
     segments: int = 0,
     score_dtype: str = "bf16",  # "bf16" | "f32" (escape hatch for Mosaic
-                                # lowering regressions on 16-bit scratch)  # 0 = auto (pack 2-4 short pairs per lane row)
+                                # lowering regressions on 16-bit scratch)
+    gap_window: int = 0,  # >0 caps query-gap length to the window; exact
+                          # whenever the optimal alignment has no gap
+                          # >= window (with ge=3, a 128-gap costs 409 --
+                          # rarely optimal for real proteins)  # 0 = auto (pack 2-4 short pairs per lane row)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -375,6 +382,7 @@ def sw_forward_pallas(
         _sw_kernel,
         BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
+        gap_window=gap_window,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
