@@ -359,6 +359,15 @@ def main(argv=None) -> int:
         run(resolve(ns))
     except err.UnicoreError as e:
         return e.err_code
+    except KeyboardInterrupt:
+        return err.ERR_INTERRUPTED
+    except Exception as e:  # noqa: BLE001 - map unexpected errors to the
+        # reference's typed general-error exit (error_handler.rs:42-45)
+        import traceback
+        if msg.verbosity() >= 4:
+            traceback.print_exc()
+        msg.eprintln_message(err.build_message(err.ERR_GENERAL, str(e)), 1)
+        return err.ERR_GENERAL
     return 0
 
 
