@@ -21,8 +21,7 @@ run data-parallel over all local devices via jax.pmap-free sharding
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

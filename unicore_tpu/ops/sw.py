@@ -23,13 +23,13 @@ profiles are built once via one-hot matmuls against the 3Di and AA
 substitution matrices, then each query row block gathers its scores with
 one (RB, 64) x (64, Lt) matmul.  Substitution scores never touch HBM.
 
-**Integer scoring units**: the default convention scales Foldseek's
-combined weighting (1.4 AA : 2.1 3Di, gap 10/1) by 10x to integers
-(w_aa=14, w_3di=21, go=100, ge=10).  Every profile entry then stays an
-integer below 256 — exactly representable in bf16 — so the MXU one-hot
-matmuls and the f32 DP are bit-exact regardless of MXU input rounding.
-E-value lambdas are fitted to the scaled matrix (align/stats.py), so
-statistics stay consistent.
+**Integer scoring units**: the default convention maps Foldseek's
+combined weighting (1.4 AA : 2.1 3Di, gap 10/1) to small integers
+(w_aa=4, w_3di=6, go=28, ge=3; exact 2:3 weight ratio, gap ratios within
+2% of Foldseek's).  Every cell score stays below 128 — exactly
+representable in bf16 — so the MXU one-hot matmuls, the bf16 score
+scratch, and the f32 DP are all bit-exact.  E-value lambdas are fitted
+to the scaled matrix (align/stats.py), so statistics stay consistent.
 
 Ties resolve row-major (lowest (i, j) wins), matching the NumPy golden
 model, via a min-key reduction over (row * Lt + col) at emit time.
