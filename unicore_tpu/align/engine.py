@@ -160,7 +160,9 @@ class AlignmentEngine:
             scores = build_scores(qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
                                   w_aa=p.w_aa, w_3di=p.w_3di)
             best, qe, te = sw_forward_xla(scores, go=p.gap_open, ge=p.gap_extend)
-        return np.asarray(best), np.asarray(qe), np.asarray(te)
+        # return device arrays: callers collect after dispatching all
+        # batches, overlapping host-side packing with device compute
+        return best, qe, te
 
     # ------------------------------------------------------------------
     def align_pairs(
@@ -190,6 +192,9 @@ class AlignmentEngine:
         qend = np.zeros(len(pairs), dtype=np.int64)
         tend = np.zeros(len(pairs), dtype=np.int64)
 
+        from unicore_tpu.runtime import profiling
+        t_align0 = __import__("time").time()
+        inflight = []
         for (LQ, LT), idxs in sorted(buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
@@ -210,15 +215,15 @@ class AlignmentEngine:
                     qs[row, : ql[row]] = q_ss[qi]
                     ta[row, : tl[row]] = t_aa[ti]
                     ts[row, : tl[row]] = t_ss[ti]
-                from unicore_tpu.runtime import profiling
-                t0 = __import__("time").time()
-                b, qe, te = self._forward_batch(qa, qs, ta, ts, ql, tl)
+                inflight.append((chunk, self._forward_batch(qa, qs, ta, ts, ql, tl)))
                 profiling.add_counter("align.cells", float(B) * LQ * LT)
-                profiling.add_counter("align.seconds", __import__("time").time() - t0)
-                for row, k in enumerate(chunk):
-                    best[k] = b[row]
-                    qend[k] = qe[row]
-                    tend[k] = te[row]
+        for chunk, (b, qe, te) in inflight:
+            b, qe, te = np.asarray(b), np.asarray(qe), np.asarray(te)
+            for row, k in enumerate(chunk):
+                best[k] = b[row]
+                qend[k] = qe[row]
+                tend[k] = te[row]
+        profiling.add_counter("align.seconds", __import__("time").time() - t_align0)
 
         # ---- reverse pass for starts ----
         starts_q = np.zeros(len(pairs), dtype=np.int64)
@@ -230,6 +235,7 @@ class AlignmentEngine:
             b = _bucket(max(qend[k] + 1, tend[k] + 1))
             rev_buckets.setdefault((b, b), []).append(k)
 
+        inflight = []
         for (LQ, LT), idxs in sorted(rev_buckets.items()):
             for s0 in range(0, len(idxs), p.batch_size):
                 chunk = idxs[s0 : s0 + p.batch_size]
@@ -251,10 +257,12 @@ class AlignmentEngine:
                     qs[row, :nq] = q_ss[qi][:nq][::-1]
                     ta[row, :nt] = t_aa[ti][:nt][::-1]
                     ts[row, :nt] = t_ss[ti][:nt][::-1]
-                b, qe, te = self._forward_batch(qa, qs, ta, ts, ql, tl)
-                for row, k in enumerate(chunk):
-                    starts_q[k] = qend[k] - qe[row]
-                    starts_t[k] = tend[k] - te[row]
+                inflight.append((chunk, self._forward_batch(qa, qs, ta, ts, ql, tl)))
+        for chunk, (b, qe, te) in inflight:
+            qe, te = np.asarray(qe), np.asarray(te)
+            for row, k in enumerate(chunk):
+                starts_q[k] = qend[k] - qe[row]
+                starts_t[k] = tend[k] - te[row]
 
         m_db = float(qlen_all.sum())
         n_db = float(tlen_all.sum())
