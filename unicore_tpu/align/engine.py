@@ -226,11 +226,31 @@ class AlignmentEngine:
         profiling.add_counter("align.seconds", __import__("time").time() - t_align0)
 
         # ---- reverse pass for starts ----
+        # exact pre-filters: an alignment ending at (qend, tend) can cover
+        # >= c of the query only if qend+1 >= c*qlen (any start); same for
+        # the target side.  Pairs that already fail these (or the E-value
+        # gate on the final score) never need the reverse pass.
+        n_db = float(tlen_all.sum())
+        skip = np.zeros(len(pairs), dtype=bool)
+        cov = p.coverage
+        for k, (qi, ti) in enumerate(pairs):
+            if best[k] <= 0:
+                skip[k] = True
+                continue
+            if p.cov_mode in (0, 2) and (qend[k] + 1) < cov * qlen_all[qi]:
+                skip[k] = True
+                continue
+            if p.cov_mode in (0, 1) and (tend[k] + 1) < cov * tlen_all[ti]:
+                skip[k] = True
+                continue
+            if float(stats.evalue(best[k], qlen_all[qi], n_db, self._lambda)) > p.evalue:
+                skip[k] = True
+
         starts_q = np.zeros(len(pairs), dtype=np.int64)
         starts_t = np.zeros(len(pairs), dtype=np.int64)
         rev_buckets: Dict[Tuple[int, int], List[int]] = {}
         for k, (qi, ti) in enumerate(pairs):
-            if best[k] <= 0:
+            if skip[k]:
                 continue
             b = _bucket(max(qend[k] + 1, tend[k] + 1))
             rev_buckets.setdefault((b, b), []).append(k)
@@ -264,11 +284,9 @@ class AlignmentEngine:
                 starts_q[k] = qend[k] - qe[row]
                 starts_t[k] = tend[k] - te[row]
 
-        m_db = float(qlen_all.sum())
-        n_db = float(tlen_all.sum())
         hits = []
         for k, (qi, ti) in enumerate(pairs):
-            if best[k] <= 0:
+            if skip[k]:
                 continue
             ev = float(stats.evalue(best[k], qlen_all[qi], n_db, self._lambda))
             bits = float(stats.bitscore(best[k], self._lambda))
