@@ -303,10 +303,15 @@ class LikelihoodEngine:
     # -- batched topologies (NNI rounds) --------------------------------
     def loglik_batch(
         self, children_batch: np.ndarray, blens_batch: np.ndarray,
-        chunk: int = 16,
+        chunk: int = 0,
     ) -> np.ndarray:
         """Batched topology evaluation, chunked to bound CLV memory
-        (each candidate carries a (2n-1, C, P, 20) buffer)."""
+        (each candidate carries a (2n-1, C, P, 20) buffer).  chunk=0
+        picks the largest chunk keeping the CLV stack under ~4 GB."""
+        if not chunk:
+            C = int(self._mp["rates"].shape[0])
+            clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
+            chunk = max(1, min(16, int(4e9 // max(clv_bytes, 1))))
         B = children_batch.shape[0]
         outs = []
         for s0 in range(0, B, chunk):
