@@ -226,8 +226,11 @@ def _sw_kernel(
     # The row recurrence is serial, so the loop is latency-bound: Mosaic's
     # per-iteration fori_loop overhead rivals the vector work.  Hand-unroll
     # UNROLL rows per loop iteration (values flow in registers between the
-    # unrolled rows; h/f stores happen once per iteration).
-    UNROLL = 4
+    # unrolled rows; h/f stores happen once per iteration).  The score rows
+    # for the iteration are fetched as ONE aligned (BT, UNROLL, LT) block —
+    # newer Mosaic rejects dynamic single-row indexes into the sublane dim
+    # (must be provably 8-aligned), and the block load is faster anyway.
+    UNROLL = 8
     assert RB % UNROLL == 0
 
     def one_row(i_global, H_prev, F_prev, s_row, BBv, BRv):
@@ -253,13 +256,14 @@ def _sw_kernel(
         return H, F, BBv, BRv
 
     def row_body(iu, _):
-        i0 = iu * UNROLL
+        i0 = pl.multiple_of(iu * UNROLL, UNROLL)
         H = h_ref[:]
         F = f_ref[:]
         BBv = bb_ref[:]
         BRv = br_ref[:]
+        s_blk = sc_ref[:, pl.ds(i0, UNROLL), :].astype(jnp.float32)
         for u in range(UNROLL):
-            s_row = sc_ref[:, i0 + u, :].astype(jnp.float32)  # (BT, LT)
+            s_row = s_blk[:, u, :]  # (BT, LT)
             H, F, BBv, BRv = one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv)
         h_ref[:] = H
         f_ref[:] = F
