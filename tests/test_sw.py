@@ -121,6 +121,25 @@ def test_identical_sequences_high_score():
     assert (int(bi[0]), int(bj[0])) == (L - 1, L - 1)
 
 
+@pytest.mark.parametrize("kw", [{"chains": 2}, {"dp_dtype": "i16"},
+                                {"chains": 2, "dp_dtype": "i16"}])
+def test_pallas_variants_bit_exact(kw):
+    """Interleaved chains and int16 DP are exact reformulations."""
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(16, 128, 128)
+    base = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=16, interpret=True,
+    )
+    var = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=16, interpret=True, **kw,
+    )
+    for a, b in zip(base, var):
+        assert (np.array(a) == np.array(b)).all()
+
+
 def test_pallas_gap_window_interpret():
     """Windowed scan equals full scan when no optimal gap exceeds it."""
     saa = BLOSUM62.astype(np.float32)

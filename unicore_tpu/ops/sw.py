@@ -148,6 +148,8 @@ def _sw_kernel(
     BT: int, RB: int, LT: int, SEG: int,
     go: float, ge: float, w_aa: float, w_3di: float,
     gap_window: int = 0,
+    chains: int = 1,
+    dp_dtype=jnp.float32,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
@@ -157,10 +159,19 @@ def _sw_kernel(
     b = pl.program_id(0)
     r = pl.program_id(1)
     SEG_L = LT // SEG
+    CB = BT // chains  # sublane rows per independent DP chain
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (BT, LT), 1)
+    # int16 DP: 16-bit types tile natively at (16, 128) — half the vregs
+    # per vector op, ~2x elementwise throughput.  All scores are small
+    # integers; H is clamped at H_CAP per row so no intermediate can wrap
+    # (worst case H_CAP + max_cell_score + Lt*ge < 32767).
+    int_dp = dp_dtype == jnp.int16
+    NEGv = -20000 if int_dp else NEG
+    H_CAP = 30000
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (CB, LT), 1)
     col_local = col & (SEG_L - 1)          # SEG_L is a power of two
-    jge = col_local.astype(jnp.float32) * ge
+    jge = (col_local * int(ge)).astype(dp_dtype) if int_dp else col_local.astype(jnp.float32) * ge
     # scan depth: full segment, or the (exact for gaps < window) cap
     scan_limit = SEG_L if not gap_window else min(SEG_L, gap_window)
     scan_masks = []
@@ -170,12 +181,14 @@ def _sw_kernel(
         d *= 2
     m0 = col_local == 0
 
+    ridx_dtype = jnp.int16 if int_dp else jnp.int32
+
     @pl.when(r == 0)
     def _init():
-        h_ref[:] = jnp.zeros((BT, LT), jnp.float32)
-        f_ref[:] = jnp.full((BT, LT), NEG, jnp.float32)
-        bb_ref[:] = jnp.zeros((BT, LT), jnp.float32)
-        br_ref[:] = jnp.zeros((BT, LT), jnp.int32)
+        h_ref[:] = jnp.zeros((BT, LT), dp_dtype)
+        f_ref[:] = jnp.full((BT, LT), NEGv, dp_dtype)
+        bb_ref[:] = jnp.zeros((BT, LT), dp_dtype)
+        br_ref[:] = jnp.zeros((BT, LT), ridx_dtype)
 
     # ---- score block for this (b, r) ----
     # Per-pair target profiles are rebuilt per row-block (cheap MXU work)
@@ -233,42 +246,61 @@ def _sw_kernel(
     UNROLL = 8
     assert RB % UNROLL == 0
 
+    if int_dp:
+        goc, gec = jnp.int16(int(go)), jnp.int16(int(ge))
+        zero, negc = jnp.int16(0), jnp.int16(NEGv)
+        capc = jnp.int16(H_CAP)
+    else:
+        goc, gec = go, ge
+        zero, negc, capc = 0.0, NEG, None
+
     def one_row(i_global, H_prev, F_prev, s_row, BBv, BRv):
-        diag = jnp.where(m0, 0.0, pltpu.roll(H_prev, shift=1, axis=1))
-        F = jnp.maximum(H_prev - go, F_prev - ge)
-        H0 = jnp.maximum(0.0, jnp.maximum(diag + s_row, F))
+        diag = jnp.where(m0, zero, pltpu.roll(H_prev, shift=1, axis=1))
+        F = jnp.maximum(H_prev - goc, F_prev - gec)
+        H0 = jnp.maximum(zero, jnp.maximum(diag + s_row, F))
         t = H0 + jge
         d = 1
         k = 0
         while d < scan_limit:
             rolled = pltpu.roll(t, shift=d, axis=1)
-            t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, NEG))
+            t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, negc))
             d *= 2
             k += 1
-        Pexc = jnp.where(m0, NEG, pltpu.roll(t, shift=1, axis=1))
-        E = Pexc - go + ge - jge
+        Pexc = jnp.where(m0, negc, pltpu.roll(t, shift=1, axis=1))
+        E = Pexc - goc + gec - jge
         H = jnp.maximum(H0, E)
+        if int_dp:
+            # cap so no later intermediate (H + s + Lt*ge) can wrap int16
+            H = jnp.minimum(H, capc)
         # elementwise per-column best tracking (strict > keeps the
         # earliest row, giving row-major tie-breaking)
         upd = H > BBv
         BBv = jnp.where(upd, H, BBv)
-        BRv = jnp.where(upd, i_global, BRv)
+        BRv = jnp.where(upd, i_global.astype(ridx_dtype), BRv)
         return H, F, BBv, BRv
 
     def row_body(iu, _):
+        # `chains` independent DP streams (disjoint sublane halves of the
+        # batch tile) are advanced in lockstep: the scheduler can overlap
+        # one chain's dependent-op latency with the other's issue slots.
         i0 = pl.multiple_of(iu * UNROLL, UNROLL)
-        H = h_ref[:]
-        F = f_ref[:]
-        BBv = bb_ref[:]
-        BRv = br_ref[:]
-        s_blk = sc_ref[:, pl.ds(i0, UNROLL), :].astype(jnp.float32)
+        s_blk = sc_ref[:, pl.ds(i0, UNROLL), :].astype(dp_dtype)
+        st = []
+        for c in range(chains):
+            sl = pl.ds(c * CB, CB)
+            st.append((h_ref[sl], f_ref[sl], bb_ref[sl], br_ref[sl]))
         for u in range(UNROLL):
-            s_row = s_blk[:, u, :]  # (BT, LT)
-            H, F, BBv, BRv = one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv)
-        h_ref[:] = H
-        f_ref[:] = F
-        bb_ref[:] = BBv
-        br_ref[:] = BRv
+            nxt = []
+            for c, (H, F, BBv, BRv) in enumerate(st):
+                s_row = s_blk[c * CB : (c + 1) * CB, u, :]  # (CB, LT)
+                nxt.append(one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv))
+            st = nxt
+        for c, (H, F, BBv, BRv) in enumerate(st):
+            sl = pl.ds(c * CB, CB)
+            h_ref[sl] = H
+            f_ref[sl] = F
+            bb_ref[sl] = BBv
+            br_ref[sl] = BRv
         return 0
 
     jax.lax.fori_loop(0, RB // UNROLL, row_body, 0)
@@ -281,8 +313,8 @@ def _sw_kernel(
         out_t = jnp.zeros((BT, 128), jnp.int32)
         coll = jax.lax.broadcasted_iota(jnp.int32, (BT, SEG_L), 1)
         for s in range(SEG):
-            BB = bb_ref[:, s * SEG_L : (s + 1) * SEG_L]
-            ROW = br_ref[:, s * SEG_L : (s + 1) * SEG_L]
+            BB = bb_ref[:, s * SEG_L : (s + 1) * SEG_L].astype(jnp.float32)
+            ROW = br_ref[:, s * SEG_L : (s + 1) * SEG_L].astype(jnp.int32)
             best = jnp.max(BB, axis=1, keepdims=True)  # (BT, 1)
             # among max-valued cells pick min (row, col): row-major ties
             key = ROW * SEG_L + coll
@@ -312,7 +344,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype",
     ),
 )
 def sw_forward_pallas(
@@ -338,6 +370,14 @@ def sw_forward_pallas(
                           # whenever the optimal alignment has no gap
                           # >= window (with ge=3, a 128-gap costs 409 --
                           # rarely optimal for real proteins)  # 0 = auto (pack 2-4 short pairs per lane row)
+    chains: int = 1,  # independent interleaved DP chains per tile (sublane
+                      # split; results are identical for any value)
+    dp_dtype: str = "f32",  # "f32" | "i16": int16 DP state halves the vregs
+                            # per vector op (native (16,128) tiling).  Exact
+                            # for integer scoring units: H is capped at
+                            # 30000, above any real protein pair's score in
+                            # the default units (>=230 identical residues at
+                            # max per-residue score; see BENCH_NOTES.md).
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -382,11 +422,20 @@ def sw_forward_pallas(
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
     s3d_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(s3d.astype(jnp.float32))
 
+    assert BT % chains == 0 and (BT // chains) % 8 == 0, (BT, chains)
+    if dp_dtype == "i16":
+        assert float(go) == int(go) and float(ge) == int(ge), (go, ge)
+        # no intermediate may wrap: t = H (<= cap 30000) + jge (<= SEG_L*ge)
+        # plus one cell score (< 150) must stay below 32767
+        assert Lt * ge + 30000 + 150 < 32767, (Lt, ge)
+        dp_jdt, ridx_jdt = jnp.int16, jnp.int16
+    else:
+        dp_jdt, ridx_jdt = jnp.float32, jnp.int32
     kernel = functools.partial(
         _sw_kernel,
         BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
-        gap_window=gap_window,
+        gap_window=gap_window, chains=chains, dp_dtype=dp_jdt,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -406,11 +455,11 @@ def sw_forward_pallas(
             pl.BlockSpec((BT, 128), lambda b, r, *_: (b, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((BT, LTK), jnp.float32),
-            pltpu.VMEM((BT, LTK), jnp.float32),
+            pltpu.VMEM((BT, LTK), dp_jdt),
+            pltpu.VMEM((BT, LTK), dp_jdt),
             pltpu.VMEM((BT, RB, LTK), jnp.bfloat16 if score_dtype == "bf16" else jnp.float32),
-            pltpu.VMEM((BT, LTK), jnp.float32),
-            pltpu.VMEM((BT, LTK), jnp.int32),
+            pltpu.VMEM((BT, LTK), dp_jdt),
+            pltpu.VMEM((BT, LTK), ridx_jdt),
         ],
     )
 
