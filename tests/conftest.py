@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("UNICORE_TPU_MOCK_PROSTT5", "1")
+# isolate tests from the repo-shipped etc/engines.cfg (and from each
+# other): pin the engines.cfg location to a per-session temp file
+import tempfile  # noqa: E402
+os.environ["UNICORE_TPU_ENGINES_CFG"] = os.path.join(
+    tempfile.mkdtemp(prefix="unicore_tpu_test_"), "engines.cfg"
+)
 
 import jax  # noqa: E402
 

@@ -19,11 +19,11 @@ def test_no_command_prints_help(capsys):
 
 
 def test_config_set_engine_roundtrip(tmp_path, monkeypatch, capsys):
-    monkeypatch.setenv("HOME", str(tmp_path))
-    monkeypatch.chdir(tmp_path)
+    cfg = tmp_path / ".unicore_tpu" / "engines.cfg"
+    monkeypatch.setenv("UNICORE_TPU_ENGINES_CFG", str(cfg))
+    cfg.parent.mkdir(parents=True)
     rc = main(["config", "--set-mafft", "builtin"])
     assert rc == 0
-    cfg = tmp_path / ".unicore_tpu" / "engines.cfg"
     assert cfg.exists()
     text = cfg.read_text()
     assert "# mafft=builtin" in text

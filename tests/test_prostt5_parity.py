@@ -1,0 +1,179 @@
+"""Real-checkpoint-layout ProstT5 parity tests.
+
+Builds a synthetic checkpoint with the *real* HF ProstT5 layout —
+original-T5 relu FFN weight names, a 150-row `shared.weight` indexed by
+the ProtT5 sentencepiece vocabulary, `<AA2fold>`/`</s>` framing, and the
+foldseek CNN-head tensor names — then proves our JAX engine reproduces an
+independent transformers T5EncoderModel + torch-CNN forward end to end
+(tokens -> 3Di letters).  This is the contract of
+`foldseek createdb --prostt5-model` (reference createdb.rs:158-166).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def _small_dims():
+    return dict(d_model=64, d_kv=16, n_heads=4, d_ff=128, n_layers=2,
+                cnn_hidden=8)
+
+
+PREFIX_ID = 131          # deliberately non-default: must be read from file
+VOCAB_ROWS = 150         # published ProstT5 vocab_size
+
+
+def _write_checkpoint(tmp_path, seed=0):
+    """Synthetic HF-layout checkpoint + tokenizer files; returns torch model."""
+    import torch
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    d = _small_dims()
+    hf_cfg = HFT5Config(
+        vocab_size=VOCAB_ROWS,
+        d_model=d["d_model"], d_kv=d["d_kv"], num_heads=d["n_heads"],
+        d_ff=d["d_ff"], num_layers=d["n_layers"], num_decoder_layers=0,
+        relative_attention_num_buckets=32, relative_attention_max_distance=128,
+        dropout_rate=0.0, feed_forward_proj="relu",
+    )
+    torch.manual_seed(seed)
+    model = T5EncoderModel(hf_cfg).eval()
+
+    rng = np.random.RandomState(seed)
+    cnn = {
+        "classifier.0.weight": rng.randn(d["cnn_hidden"], d["d_model"], 7, 1).astype(np.float32),
+        "classifier.0.bias": rng.randn(d["cnn_hidden"]).astype(np.float32),
+        "classifier.3.weight": rng.randn(20, d["cnn_hidden"], 7, 1).astype(np.float32),
+        "classifier.3.bias": rng.randn(20).astype(np.float32),
+    }
+    sd = dict(model.state_dict())
+    sd.update({k: torch.from_numpy(v) for k, v in cnn.items()})
+    torch.save(sd, str(tmp_path / "pytorch_model.bin"))
+    with open(tmp_path / "added_tokens.json", "w") as f:
+        json.dump({"<AA2fold>": PREFIX_ID, "<fold2AA>": PREFIX_ID + 1}, f)
+    return model, cnn
+
+
+def _torch_reference_3di(model, cnn, seq):
+    """Independent reference: HF encoder + per-sequence slice-then-conv CNN."""
+    import torch
+    import torch.nn.functional as F
+
+    from unicore_tpu.alphabets import TDI_ALPHABET
+    from unicore_tpu.models.tokenizer import ProstT5Vocab
+
+    vocab = ProstT5Vocab.default()
+    from unicore_tpu.alphabets import encode_aa
+    ids = [PREFIX_ID] + [int(vocab.aa_ids[c]) for c in encode_aa(seq)] + [vocab.eos_id]
+    input_ids = torch.tensor([ids])
+    with torch.no_grad():
+        h = model(input_ids, attention_mask=torch.ones_like(input_ids)).last_hidden_state
+        emb = h[0, 1 : len(seq) + 1]                     # residues only
+        x = emb.T.unsqueeze(0).unsqueeze(-1)             # (1, D, n, 1)
+        y = F.conv2d(x, torch.from_numpy(cnn["classifier.0.weight"]),
+                     torch.from_numpy(cnn["classifier.0.bias"]), padding=(3, 0))
+        y = F.relu(y)
+        y = F.conv2d(y, torch.from_numpy(cnn["classifier.3.weight"]),
+                     torch.from_numpy(cnn["classifier.3.bias"]), padding=(3, 0))
+        pred = y[0, :, :, 0].argmax(0).numpy()
+    return "".join(TDI_ALPHABET[c] for c in pred), y[0, :, :, 0].T.numpy()
+
+
+def test_real_layout_checkpoint_matches_transformers(tmp_path):
+    import jax.numpy as jnp
+
+    from unicore_tpu.models.prostt5 import ProstT5Engine, T5Config
+
+    model, cnn = _write_checkpoint(tmp_path)
+    d = _small_dims()
+    cfg = T5Config(d_model=d["d_model"], d_kv=d["d_kv"], n_heads=d["n_heads"],
+                   d_ff=d["d_ff"], n_layers=d["n_layers"],
+                   cnn_hidden=d["cnn_hidden"], ff="relu")
+    eng = ProstT5Engine(str(tmp_path), cfg=cfg, dtype=jnp.float32)
+    assert eng.loaded_pretrained
+    assert "wi" in eng.params["layers"][0], "relu checkpoint must load single wi"
+
+    seqs = [
+        "MIRGGDIAKGTVLLHKGAPYLVVEREFVNPGKGAAFARVKMK",
+        "ACDEFGHIKLMNPQRSTVWY",        # every canonical AA once
+        "MKVXLBZJWW",                   # ambiguity codes -> X/N/Q/L paths
+        "MK",                           # minimal length
+    ]
+    ours = eng.predict(seqs)
+    for seq, mine in zip(seqs, ours):
+        ref, ref_logits = _torch_reference_3di(model, cnn, seq)
+        assert len(mine) == len(seq)
+        if mine != ref:
+            # tolerate only true numeric ties at the argmax boundary
+            diff = [i for i in range(len(seq)) if mine[i] != ref[i]]
+            srt = np.sort(ref_logits[diff], axis=-1)
+            gaps = srt[:, -1] - srt[:, -2]
+            assert np.all(gaps < 1e-3), (
+                f"{seq}: prediction mismatch at {diff} with non-tie gaps {gaps}"
+            )
+
+
+def test_batched_equals_torch_per_sequence(tmp_path):
+    """Batch padding in the engine must not leak into CNN windows."""
+    import jax.numpy as jnp
+
+    from unicore_tpu.models.prostt5 import ProstT5Engine, T5Config
+
+    model, cnn = _write_checkpoint(tmp_path, seed=3)
+    d = _small_dims()
+    cfg = T5Config(d_model=d["d_model"], d_kv=d["d_kv"], n_heads=d["n_heads"],
+                   d_ff=d["d_ff"], n_layers=d["n_layers"],
+                   cnn_hidden=d["cnn_hidden"], ff="relu")
+    eng = ProstT5Engine(str(tmp_path), cfg=cfg, dtype=jnp.float32)
+    seqs = ["MKLVFF", "MKLVFFAEDVGSNKGAIIGLMVGGVVIA", "GG"]
+    batched = eng.predict(seqs)
+    for seq, mine in zip(seqs, batched):
+        ref, _ = _torch_reference_3di(model, cnn, seq)
+        assert mine == ref
+
+
+def test_vocab_from_tokenizer_json(tmp_path):
+    """tokenizer.json (unigram vocab + added tokens) drives the mapping."""
+    from unicore_tpu.models.tokenizer import load_vocab
+
+    # scrambled base vocab: specials, then AAs in a NON-ProtT5 order
+    pieces = ["<pad>", "</s>", "<unk>"] + ["▁" + c for c in "ARNDCQEGHILKMFPSTWYVXBOUZ"]
+    tok = {
+        "model": {"type": "Unigram", "vocab": [[p, 0.0] for p in pieces]},
+        "added_tokens": [
+            {"id": 40, "content": "<AA2fold>"},
+            {"id": 41, "content": "<fold2AA>"},
+        ],
+    }
+    with open(tmp_path / "tokenizer.json", "w") as f:
+        json.dump(tok, f)
+    v = load_vocab(str(tmp_path))
+    assert v.source == "tokenizer.json"
+    assert v.prefix_id == 40
+    # internal code 0 = 'A' -> id 3 here; code 1 = 'R' -> 4; X -> 23
+    assert v.aa_ids[0] == 3 and v.aa_ids[1] == 4 and v.aa_ids[20] == 23
+
+
+def test_vocab_default_layout():
+    """Fallback = documented ProtT5 sentencepiece layout (ids 3..27)."""
+    from unicore_tpu.alphabets import AA_FULL
+    from unicore_tpu.models.tokenizer import PROTT5_AA_ORDER, ProstT5Vocab
+
+    v = ProstT5Vocab.default()
+    assert v.pad_id == 0 and v.eos_id == 1 and v.unk_id == 2
+    for code, letter in enumerate(AA_FULL):
+        assert v.aa_ids[code] == 3 + PROTT5_AA_ORDER.index(letter)
+    # no two AAs share an id
+    assert len(set(v.aa_ids.tolist())) == 21
+
+
+def test_vocab_added_tokens_json(tmp_path):
+    from unicore_tpu.models.tokenizer import ProstT5Vocab, load_vocab
+
+    with open(tmp_path / "added_tokens.json", "w") as f:
+        json.dump({"<fold2AA>": 149, "<AA2fold>": 148}, f)
+    v = load_vocab(str(tmp_path))
+    assert v.prefix_id == 148
+    assert v.source == "added_tokens.json"
+    np.testing.assert_array_equal(v.aa_ids, ProstT5Vocab.default().aa_ids)

@@ -314,6 +314,10 @@ def run(args: SimpleNamespace) -> None:
     msg.set_verbosity(args.verbosity)
     thr.set_threads(args.threads or 0)
     _enable_compile_cache()
+    # engines.cfg overrides govern which engine factories registry.get()
+    # resolves — the analog of main.rs:12-15 loading path.cfg at startup.
+    from unicore_tpu.runtime import registry
+    registry.load_overrides()
 
     cmd = args.command
     if cmd is None:

@@ -2,11 +2,20 @@
 
 Replaces `foldseek createdb --prostt5-model` (createdb.rs:158-166): every
 amino-acid sequence is translated to an equal-length 3Di string.  The
-network is the ProstT5 architecture (ProtT5-XL encoder: 24 layers,
-d_model 1024, 32 heads with d_kv 128, d_ff 16384, T5 relative-position
-buckets, RMSNorm, gated-gelu-free wi/wo FFN) followed by the 2-layer
-residue-wise CNN head (1024 -> 32 -> 20, kernel 7) that predicts 3Di
-states.
+network is the ProstT5 architecture — a ProtT5-XL encoder, which is the
+*original* T5 (v1.0) encoder stack: 24 layers, d_model 1024, 32 heads
+with d_kv 128, d_ff 16384 with a single-`wi` **relu** FFN, T5
+relative-position buckets, RMSNorm — followed by the 2-layer
+residue-wise CNN head (1024 -> 32 -> 20, kernel 7, same zero padding)
+that predicts 3Di states in alphabetical class order
+``ACDEFGHIKLMNPQRSTVWY`` (ProstT5's published ss_mapping, which equals
+``alphabets.TDI_ALPHABET``).
+
+Inference contract (matches ProstT5's encoder-only predictor and the
+foldseek GPU path): the encoder input is
+``[<AA2fold>, residue tokens..., </s>]``; the CNN head sees only the
+residue hidden states (positions outside the residues are zeroed, which
+reproduces the reference's per-sequence slice + zero-padded conv).
 
 TPU-first design decisions:
   * bfloat16 activations/weights, float32 logits
@@ -16,9 +25,11 @@ TPU-first design decisions:
     inserts the collectives
   * weights load from a HuggingFace ProstT5 checkpoint directory
     (safetensors / pytorch_model.bin via torch-cpu) or an .npz export;
-    without weights (offline) a seeded deterministic initialization is
-    used so the full pipeline remains runnable (and the `mock` backend
-    stays the recommended offline test path).
+    token embeddings are gathered from ``shared.weight`` through the
+    checkpoint's sentencepiece vocabulary (models/tokenizer.py), never
+    positionally.  Without weights (offline) a seeded deterministic
+    initialization is used so the full pipeline remains runnable (and
+    the `mock` backend stays the recommended offline test path).
 """
 
 from __future__ import annotations
@@ -34,13 +45,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from unicore_tpu.alphabets import TDI_ALPHABET, encode_aa
+from unicore_tpu.models.tokenizer import ProstT5Vocab, load_vocab
 from unicore_tpu.runtime import errors as err
 from unicore_tpu.runtime import logging as msg
+
+# Internal token codes.  0..20 are the AA codes from alphabets.py; the
+# specials sit above them so kernel-side "is residue" is `tok < TOK_PREFIX`.
+TOK_PREFIX = 21   # <AA2fold> direction token
+TOK_EOS = 22      # </s>
+TOK_PAD = 23      # <pad>
 
 
 @dataclass(frozen=True)
 class T5Config:
-    vocab: int = 25           # 20 AA + X + specials
+    vocab: int = 25           # 20 AA + X + prefix/eos/pad + spare
     d_model: int = 1024
     d_kv: int = 128
     n_heads: int = 32
@@ -51,6 +69,8 @@ class T5Config:
     n_classes: int = 20       # 3Di states
     cnn_hidden: int = 32
     cnn_kernel: int = 7
+    ff: str = "relu"          # ProtT5/ProstT5 = original T5: single-wi relu
+                              # ("gated-gelu" supported for v1.1-style ckpts)
 
     @classmethod
     def small(cls) -> "T5Config":
@@ -83,24 +103,33 @@ def init_params(cfg: T5Config, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
     }
     inner = cfg.n_heads * cfg.d_kv
     for _ in range(cfg.n_layers):
-        params["layers"].append(
-            {
-                "ln1": np.ones(cfg.d_model, np.float32),
-                "q": mat(cfg.d_model, inner),
-                "k": mat(cfg.d_model, inner),
-                "v": mat(cfg.d_model, inner),
-                "o": mat(inner, cfg.d_model),
-                "ln2": np.ones(cfg.d_model, np.float32),
-                "wi0": mat(cfg.d_model, cfg.d_ff),  # gated-gelu: wi_0 (gate)
-                "wi1": mat(cfg.d_model, cfg.d_ff),  # wi_1 (linear)
-                "wo": mat(cfg.d_ff, cfg.d_model),
-            }
-        )
+        layer = {
+            "ln1": np.ones(cfg.d_model, np.float32),
+            "q": mat(cfg.d_model, inner),
+            "k": mat(cfg.d_model, inner),
+            "v": mat(cfg.d_model, inner),
+            "o": mat(inner, cfg.d_model),
+            "ln2": np.ones(cfg.d_model, np.float32),
+            "wo": mat(cfg.d_ff, cfg.d_model),
+        }
+        if cfg.ff == "gated-gelu":
+            layer["wi0"] = mat(cfg.d_model, cfg.d_ff)  # gate
+            layer["wi1"] = mat(cfg.d_model, cfg.d_ff)  # linear
+        else:
+            layer["wi"] = mat(cfg.d_model, cfg.d_ff)   # original T5 relu
+        params["layers"].append(layer)
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
 
 
 def load_params(model_dir: str, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
-    """Load from an HF ProstT5 checkpoint dir or our own .npz export."""
+    """Load from an HF ProstT5 checkpoint dir or our own .npz export.
+
+    Embedding rows are gathered from ``shared.weight`` through the
+    checkpoint's sentencepiece vocabulary: internal AA codes 0..20 map to
+    their real token ids (ids 3.. in ProtT5 frequency order, NOT a
+    positional slice), TOK_PREFIX/TOK_EOS/TOK_PAD map to
+    ``<AA2fold>``/``</s>``/``<pad>``.
+    """
     npz = os.path.join(model_dir, "prostt5_tpu.npz")
     if os.path.isfile(npz):
         raw = np.load(npz)
@@ -116,8 +145,30 @@ def load_params(model_dir: str, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
         v = tensors.get(name)
         return None if v is None else np.asarray(v, np.float32)
 
+    vocab = load_vocab(model_dir)
+    shared = t("shared.weight")
+    if shared is None:
+        shared = t("encoder.embed_tokens.weight")
+    row_ids = np.full(cfg.vocab, vocab.unk_id, dtype=np.int64)
+    row_ids[: len(vocab.aa_ids)] = vocab.aa_ids
+    row_ids[TOK_PREFIX] = vocab.prefix_id
+    row_ids[TOK_EOS] = vocab.eos_id
+    row_ids[TOK_PAD] = vocab.pad_id
+    if row_ids.max() >= shared.shape[0]:
+        msg.println_message(
+            f"Warning: vocab id {int(row_ids.max())} out of range for "
+            f"shared.weight rows {shared.shape[0]}; clamping (the affected "
+            "token embeddings will be wrong — check the tokenizer files).", 1,
+        )
+        row_ids = np.minimum(row_ids, shared.shape[0] - 1)
+
+    # FFN flavor from the checkpoint names (original T5 = single wi+relu);
+    # encoder_forward branches on the param keys, so a v1.1-style gated
+    # checkpoint works even if cfg.ff says "relu".
+    gated_ckpt = "encoder.block.0.layer.1.DenseReluDense.wi_0.weight" in tensors
+
     p: Dict = {}
-    p["embed"] = t("shared.weight")[: cfg.vocab]
+    p["embed"] = shared[row_ids]
     p["rel_bias"] = t(
         "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
     )
@@ -125,19 +176,21 @@ def load_params(model_dir: str, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
     p["layers"] = []
     for i in range(cfg.n_layers):
         pre = f"encoder.block.{i}.layer"
-        p["layers"].append(
-            {
-                "ln1": t(f"{pre}.0.layer_norm.weight"),
-                "q": t(f"{pre}.0.SelfAttention.q.weight").T,
-                "k": t(f"{pre}.0.SelfAttention.k.weight").T,
-                "v": t(f"{pre}.0.SelfAttention.v.weight").T,
-                "o": t(f"{pre}.0.SelfAttention.o.weight").T,
-                "ln2": t(f"{pre}.1.layer_norm.weight"),
-                "wi0": t(f"{pre}.1.DenseReluDense.wi_0.weight").T,
-                "wi1": t(f"{pre}.1.DenseReluDense.wi_1.weight").T,
-                "wo": t(f"{pre}.1.DenseReluDense.wo.weight").T,
-            }
-        )
+        layer = {
+            "ln1": t(f"{pre}.0.layer_norm.weight"),
+            "q": t(f"{pre}.0.SelfAttention.q.weight").T,
+            "k": t(f"{pre}.0.SelfAttention.k.weight").T,
+            "v": t(f"{pre}.0.SelfAttention.v.weight").T,
+            "o": t(f"{pre}.0.SelfAttention.o.weight").T,
+            "ln2": t(f"{pre}.1.layer_norm.weight"),
+            "wo": t(f"{pre}.1.DenseReluDense.wo.weight").T,
+        }
+        if gated_ckpt:
+            layer["wi0"] = t(f"{pre}.1.DenseReluDense.wi_0.weight").T
+            layer["wi1"] = t(f"{pre}.1.DenseReluDense.wi_1.weight").T
+        else:
+            layer["wi"] = t(f"{pre}.1.DenseReluDense.wi.weight").T
+        p["layers"].append(layer)
     # CNN head (foldseek's prostt5 CNN checkpoint layout)
     cnn_w1 = t("classifier.0.weight")  # (32, 1024, 7, 1) torch conv2d
     if cnn_w1 is not None:
@@ -191,14 +244,16 @@ def _rmsnorm(x, w, eps=1e-6):
 
 
 def _rel_bucket(rel_pos, n_buckets=32, max_dist=128):
-    """T5 bidirectional relative position bucketing."""
+    """T5 bidirectional relative position bucketing (bit-exact vs HF)."""
     num = n_buckets // 2
     ret = jnp.where(rel_pos > 0, num, 0)
     n = jnp.abs(rel_pos)
     max_exact = num // 2
     is_small = n < max_exact
+    # max(n, max_exact) keeps log() >= 0 where the large branch is unused,
+    # so the truncation toward zero matches HF's .long() exactly.
     val_large = max_exact + (
-        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        jnp.log(jnp.maximum(n, max_exact).astype(jnp.float32) / max_exact)
         / math.log(max_dist / max_exact)
         * (num - max_exact)
     ).astype(jnp.int32)
@@ -237,26 +292,41 @@ def encoder_forward(params: Dict, cfg: T5Config, tokens: jnp.ndarray, mask: jnp.
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, -1)
         x = x + ctx @ lp["o"]
 
-        # FFN (gated gelu, T5 v1.1 style used by ProtT5)
+        # FFN: ProtT5/ProstT5 = original T5 single-wi relu; gated-gelu
+        # (v1.1-style checkpoints) selected by param key at trace time.
         h = _rmsnorm(x, lp["ln2"])
-        g = jax.nn.gelu(h @ lp["wi0"], approximate=True)
-        u = h @ lp["wi1"]
-        x = x + (g * u) @ lp["wo"]
+        if "wi" in lp:
+            x = x + jax.nn.relu(h @ lp["wi"]) @ lp["wo"]
+        else:
+            g = jax.nn.gelu(h @ lp["wi0"], approximate=True)
+            x = x + (g * (h @ lp["wi1"])) @ lp["wo"]
 
     return _rmsnorm(x, params["final_ln"])
 
 
-def cnn_head(params: Dict, cfg: T5Config, x: jnp.ndarray) -> jnp.ndarray:
-    """Residue-wise conv head: (B, L, D) -> (B, L, n_classes) logits."""
+def cnn_head(params: Dict, cfg: T5Config, x: jnp.ndarray, res_mask=None) -> jnp.ndarray:
+    """Residue-wise conv head: (B, L, D) -> (B, L, n_classes) logits.
+
+    With `res_mask` (B, L) the head reproduces the reference's
+    per-sequence "slice residues, then conv with zero padding" semantics
+    inside a padded batch: both the input and the inter-conv activation
+    are zeroed outside the residue span, so every conv window sees
+    exactly what it would see on the isolated sliced sequence.
+    """
     c = params["cnn"]
+    x = x.astype(jnp.float32)
+    if res_mask is not None:
+        x = x * res_mask[..., None].astype(jnp.float32)
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x,
         c["w1"].astype(jnp.float32),  # (K, D, H)
         window_strides=(1,),
         padding=[(cfg.cnn_kernel // 2, cfg.cnn_kernel // 2)],
         dimension_numbers=("NWC", "WIO", "NWC"),
     ) + c["b1"].astype(jnp.float32)
     y = jax.nn.relu(y)
+    if res_mask is not None:
+        y = y * res_mask[..., None].astype(jnp.float32)
     y = jax.lax.conv_general_dilated(
         y,
         c["w2"].astype(jnp.float32),
@@ -267,11 +337,22 @@ def cnn_head(params: Dict, cfg: T5Config, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def residue_logits(params: Dict, cfg: T5Config, tokens: jnp.ndarray, mask: jnp.ndarray):
+    """Encoder + CNN with the ProstT5 residue-slice semantics.
+
+    Hidden states at non-residue positions (the <AA2fold> prefix, </s>,
+    padding) are zeroed before the CNN so its zero-padded conv windows see
+    exactly what the reference's per-sequence slice sees; 3Di predictions
+    are therefore read at the same positions as the residue tokens.
+    """
+    h = encoder_forward(params, cfg, tokens, mask)
+    is_res = (tokens < TOK_PREFIX) & mask
+    return cnn_head(params, cfg, h, res_mask=is_res)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def predict_3di_codes(params: Dict, cfg: T5Config, tokens: jnp.ndarray, mask: jnp.ndarray):
-    h = encoder_forward(params, cfg, tokens, mask)
-    logits = cnn_head(params, cfg, h)
-    return jnp.argmax(logits, axis=-1)
+    return jnp.argmax(residue_logits(params, cfg, tokens, mask), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -296,12 +377,13 @@ class ProstT5Engine:
         cfg: Optional[T5Config] = None,
         batch_tokens: int = 64 * 512,
         seed: int = 0,
+        dtype=jnp.bfloat16,
     ):
         self.cfg = cfg or T5Config()
         self.params = None
         self.loaded_pretrained = False
         if model_dir and os.path.isdir(model_dir):
-            p = load_params(model_dir, self.cfg)
+            p = load_params(model_dir, self.cfg, dtype=dtype)
             if p is not None:
                 self.params = p
                 self.loaded_pretrained = True
@@ -334,27 +416,34 @@ class ProstT5Engine:
         return self._dp
 
     def predict(self, sequences: List[str]) -> List[str]:
+        """AA->3Di. Encoder input per sequence is
+        ``[<AA2fold>, residues..., </s>]`` (ProstT5's AA->fold direction);
+        3Di letters are read back at the residue positions."""
         tdi = np.frombuffer(TDI_ALPHABET.encode(), dtype=np.uint8)
         out: List[Optional[str]] = [None] * len(sequences)
         n_dev, sharded_predict = self._dp_setup()
         order = sorted(range(len(sequences)), key=lambda i: len(sequences[i]))
         i = 0
         while i < len(order):
-            L = _bucket_len(len(sequences[order[i]]))
+            # bucket on the framed length (prefix + residues + eos)
+            L = _bucket_len(len(sequences[order[i]]) + 2)
             bs = max(8, min(512, self.batch_tokens // L))
             chunk = order[i : i + bs]
             # keep the chunk within this length bucket
-            chunk = [j for j in chunk if len(sequences[j]) <= L]
+            chunk = [j for j in chunk if len(sequences[j]) + 2 <= L]
             i += len(chunk)
             B = len(chunk)
             pad = 8 * max(1, n_dev)
             Bp = ((B + pad - 1) // pad) * pad
-            toks = np.full((Bp, L), 20, dtype=np.int32)  # X padding
+            toks = np.full((Bp, L), TOK_PAD, dtype=np.int32)
             mask = np.zeros((Bp, L), dtype=bool)
             for r, j in enumerate(chunk):
                 codes = encode_aa(sequences[j])
-                toks[r, : len(codes)] = codes
-                mask[r, : len(codes)] = True
+                n = len(codes)
+                toks[r, 0] = TOK_PREFIX
+                toks[r, 1 : n + 1] = codes
+                toks[r, n + 1] = TOK_EOS
+                mask[r, : n + 2] = True
             if sharded_predict is not None:
                 codes3 = np.asarray(
                     sharded_predict(self.params, jnp.asarray(toks), jnp.asarray(mask))
@@ -365,7 +454,7 @@ class ProstT5Engine:
                 )
             for r, j in enumerate(chunk):
                 n = len(sequences[j])
-                out[j] = tdi[codes3[r, :n]].tobytes().decode()
+                out[j] = tdi[codes3[r, 1 : n + 1]].tobytes().decode()
         return out  # type: ignore[return-value]
 
     def probe(self) -> bool:

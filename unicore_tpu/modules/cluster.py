@@ -52,7 +52,11 @@ def cluster_db(db: SeqDB, params: AlignParams, cascade_threshold: int = CASCADE_
     msg.println_message(f" {len(pairs)} pairs from {n * (n - 1) // 2}", 3)
 
     q_aa, q_ss = encode_db(db.aa_seqs, db.ss_seqs)
-    engine = AlignmentEngine(params)
+    from unicore_tpu.runtime import registry
+    factory = registry.get("foldseek")
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, "foldseek")
+    engine = factory(params)
     msg.print_message("Aligning candidate pairs...", 3)
     hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
     msg.println_message(" Done", 3)

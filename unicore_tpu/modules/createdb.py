@@ -42,12 +42,18 @@ def _gather_fasta_files(input_path: str) -> List[str]:
 
 
 def get_predictor(model: str):
-    """Resolve the 3Di predictor backend from the model argument."""
+    """Resolve the 3Di predictor backend from the model argument.
+
+    `mock` stays a CLI-level backend choice; otherwise the engine comes
+    from the registry so engines.cfg can override it (path.cfg analog)."""
     if model == "mock" or os.environ.get("UNICORE_TPU_MOCK_PROSTT5") == "1":
         from unicore_tpu.models.mock import MockProstT5
         return MockProstT5()
-    from unicore_tpu.models.prostt5 import ProstT5Engine
-    return ProstT5Engine(model)
+    from unicore_tpu.runtime import registry
+    factory = registry.get("prostt5")
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, "prostt5")
+    return factory(model)
 
 
 def run(args) -> None:

@@ -20,6 +20,7 @@ from unicore_tpu.align.engine import AlignParams, AlignmentEngine, encode_db
 from unicore_tpu.align.prefilter import candidate_pairs
 from unicore_tpu.io.seqdb import SeqDB
 from unicore_tpu.runtime import checkpoint as chkpnt
+from unicore_tpu.runtime import errors as err
 from unicore_tpu.runtime import logging as msg
 
 
@@ -38,7 +39,11 @@ def search_dbs(query_db: SeqDB, target_db: SeqDB, params: AlignParams):
     )
     msg.println_message(f" {len(pairs)} pairs", 3)
 
-    engine = AlignmentEngine(params)
+    from unicore_tpu.runtime import registry
+    factory = registry.get("foldseek")
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, "foldseek")
+    engine = factory(params)
     hits = engine.align_pairs(q_aa, q_ss, t_aa, t_ss, pairs)
     qlen = np.array([len(a) for a in q_aa])
     tlen = np.array([len(a) for a in t_aa])

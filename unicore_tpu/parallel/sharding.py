@@ -23,18 +23,22 @@ from unicore_tpu.models.prostt5 import T5Config, cnn_head, encoder_forward
 def param_pspecs(params: Dict) -> Dict:
     """PartitionSpec pytree for the ProstT5 param dict (TP over d_ff/heads)."""
 
-    def layer_spec(_):
-        return {
+    def layer_spec(layer):
+        spec = {
             "ln1": P(),
             "q": P(None, "tp"),
             "k": P(None, "tp"),
             "v": P(None, "tp"),
             "o": P("tp", None),
             "ln2": P(),
-            "wi0": P(None, "tp"),
-            "wi1": P(None, "tp"),
             "wo": P("tp", None),
         }
+        if "wi" in layer:          # original-T5 relu FFN (ProstT5)
+            spec["wi"] = P(None, "tp")
+        else:                      # gated-gelu variant
+            spec["wi0"] = P(None, "tp")
+            spec["wi1"] = P(None, "tp")
+        return spec
 
     return {
         "embed": P(),
@@ -88,9 +92,8 @@ def make_sharded_predict(cfg: T5Config, mesh: Mesh):
 
     @jax.jit
     def predict(params, tokens, mask):
-        h = encoder_forward(params, cfg, tokens, mask)
-        logits = cnn_head(params, cfg, h)
-        return jnp.argmax(logits, axis=-1)
+        from unicore_tpu.models.prostt5 import residue_logits
+        return jnp.argmax(residue_logits(params, cfg, tokens, mask), axis=-1)
 
     def run(params, tokens, mask):
         ds = NamedSharding(mesh, P("dp", None))

@@ -42,7 +42,33 @@ def register(name: str, factory: Callable[[], object]) -> None:
     _FACTORIES[name] = factory
 
 
-def get(name: str) -> Optional[Callable[[], object]]:
+def _resolve_override(name: str, spec: str) -> Callable[..., object]:
+    """Import a "module:attr" engine factory named in engines.cfg.
+
+    The analog of the reference resolving path.cfg entries to real
+    binaries (variables.rs:118-132); a broken entry maps to the same
+    typed failure as a missing binary (error_handler.rs BINARY_NOT_FOUND).
+    """
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    try:
+        mod = importlib.import_module(mod_name)
+        return getattr(mod, attr) if attr else mod  # type: ignore[return-value]
+    except (ImportError, AttributeError) as e:
+        err.error(
+            err.ERR_BINARY_NOT_FOUND,
+            f"engine override '{name}={spec}' does not resolve: {e}",
+        )
+        raise  # unreachable; err.error raises
+
+
+def get(name: str) -> Optional[Callable[..., object]]:
+    """Resolve an engine factory: engines.cfg override first, then the
+    built-in default (the override value "builtin" forces the default)."""
+    ov = _OVERRIDES.get(name)
+    if ov and ov != "builtin":
+        return _resolve_override(name, ov)
     return _FACTORIES.get(name)
 
 
@@ -51,7 +77,14 @@ def has(name: str) -> bool:
 
 
 def locate_engines_cfg() -> Optional[str]:
-    """3-location probe mirroring variables.rs:66-76."""
+    """Config location probe mirroring variables.rs:66-76.
+
+    `UNICORE_TPU_ENGINES_CFG` pins the location outright (even if the
+    file does not exist yet — `config --set-*` will create it there);
+    otherwise the usual 3-location existence probe applies."""
+    env = os.environ.get("UNICORE_TPU_ENGINES_CFG")
+    if env:
+        return env
     candidates = [
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "etc", "engines.cfg"),
         os.path.join(os.getcwd(), "engines.cfg"),
@@ -65,7 +98,7 @@ def locate_engines_cfg() -> Optional[str]:
 
 def load_overrides(path: Optional[str] = None) -> Dict[str, str]:
     path = path or locate_engines_cfg()
-    if path is None:
+    if path is None or not os.path.isfile(path):
         return {}
     with open(path) as f:
         for line in f:
@@ -81,12 +114,17 @@ def get_override(name: str) -> Optional[str]:
     return _OVERRIDES.get(name)
 
 
+def clear_overrides() -> None:
+    """Reset override state (test isolation)."""
+    _OVERRIDES.clear()
+
+
 def _register_defaults() -> None:
     """Lazy default wiring; engines import jax only when instantiated."""
 
-    def _align_engine():
+    def _align_engine(params=None):
         from unicore_tpu.align.engine import AlignmentEngine
-        return AlignmentEngine()
+        return AlignmentEngine(params)
 
     def _msa_engine_foldmason():
         from unicore_tpu.msa.progressive import ProgressiveMSA
@@ -112,9 +150,9 @@ def _register_defaults() -> None:
         from unicore_tpu.phylo.engine import TreeEngine
         return TreeEngine(schedule="raxml-ng")
 
-    def _prostt5():
+    def _prostt5(model_dir=None):
         from unicore_tpu.models.prostt5 import ProstT5Engine
-        return ProstT5Engine()
+        return ProstT5Engine(model_dir)
 
     defaults = {
         "foldseek": _align_engine,
