@@ -23,6 +23,68 @@ def test_align_params_from_options():
     assert p.cov_mode == 1
 
 
+def test_align_params_prefilter_options():
+    p = AlignParams.from_options("--max-seqs 50 -s 7.5 --min-ungapped-score 20")
+    assert p.max_seqs == 50
+    assert p.sens == 7.5
+    assert p.min_ungapped_score == round(20 * 2.8571)
+
+
+def _family_fixture(nfam=4, per=5, L=70, seed=11):
+    rng = np.random.RandomState(seed)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    tdi = "ACDEFGHIKLMNPQRSTVWY"
+    aa, ss = [], []
+    for fam in range(nfam):
+        base_aa = "".join(rng.choice(list(letters), L))
+        base_ss = "".join(rng.choice(list(tdi), L))
+        for _ in range(per):
+            s = list(base_aa)
+            for _ in range(3):
+                s[rng.randint(L)] = rng.choice(list(letters))
+            aa.append("".join(s))
+            ss.append(base_ss)
+    return aa, ss
+
+
+def test_rescore_only_removes_pairs_sw_would_reject():
+    """The ungapped diagonal rescore gate must not change the gated hit
+    set — it may only prune pairs the coverage/E-value gates reject."""
+    aa, ss = _family_fixture()
+    q_aa, q_ss = encode_db(aa, ss)
+    n = len(aa)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]  # ALL pairs
+    qlen = np.array([len(a) for a in q_aa])
+
+    base_eng = AlignmentEngine(_params(min_ungapped_score=0.0))
+    base = base_eng.gate(base_eng.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs), qlen, qlen)
+    res_eng = AlignmentEngine(_params())  # default rescore threshold
+    res = res_eng.gate(res_eng.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs), qlen, qlen)
+
+    base_set = {(h.qidx, h.tidx, h.score) for h in base}
+    res_set = {(h.qidx, h.tidx, h.score) for h in res}
+    assert base_set == res_set
+    assert len(base_set) >= 4 * 10  # all within-family pairs survive
+
+
+def test_max_seqs_caps_candidates():
+    aa, ss = _family_fixture(nfam=1, per=6)
+    pairs_all = candidate_pairs(aa, ss, min_shared=2)
+    pairs_capped = candidate_pairs(aa, ss, min_shared=2, max_seqs=2)
+    assert len(pairs_capped) < len(pairs_all)
+    per_query = {}
+    for i, _ in pairs_capped:
+        per_query[i] = per_query.get(i, 0) + 1
+    assert max(per_query.values()) <= 2
+
+
+def test_sensitivity_monotone():
+    aa, ss = _family_fixture(nfam=2, per=4)
+    lo = candidate_pairs(aa, ss, min_shared=1, sens=2.0)
+    hi = candidate_pairs(aa, ss, min_shared=1, sens=9.0)
+    assert set(lo) <= set(hi)
+
+
 def test_engine_self_alignment_full_coverage():
     aa = ["MIRGGDIAKGTVLLHKGAPYLVVEREFVNPGKGAAFARVKMK"]
     ss = ["DDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDDD"]

@@ -122,22 +122,77 @@ def test_identical_sequences_high_score():
 
 
 @pytest.mark.parametrize("kw", [{"chains": 2}, {"dp_dtype": "i16"},
-                                {"chains": 2, "dp_dtype": "i16"}])
+                                {"chains": 2, "dp_dtype": "i16", "batch_tile": 32}])
 def test_pallas_variants_bit_exact(kw):
-    """Interleaved chains and int16 DP are exact reformulations."""
+    """Interleaved chains and int16 DP are exact reformulations.
+
+    i16 + chains requires a 16-aligned sublane slice per chain
+    ((BT//chains) % 16 == 0, the int16 native tile), hence batch_tile=32
+    for the combined case.
+    """
     saa = BLOSUM62.astype(np.float32)
     s3d = default_3di_matrix().astype(np.float32)
-    qa, qs, ta, ts, qlen, tlen = _random_pairs(16, 128, 128)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(32, 128, 128)
     base = sw_forward_pallas(
         qa, qs, ta, ts, qlen, tlen, saa, s3d,
         go=GO, ge=GE, batch_tile=16, interpret=True,
     )
+    kw = dict(kw)
+    bt = kw.pop("batch_tile", 16)
     var = sw_forward_pallas(
         qa, qs, ta, ts, qlen, tlen, saa, s3d,
-        go=GO, ge=GE, batch_tile=16, interpret=True, **kw,
+        go=GO, ge=GE, batch_tile=bt, interpret=True, **kw,
     )
     for a, b in zip(base, var):
         assert (np.array(a) == np.array(b)).all()
+
+
+def _ungapped_ref(s):
+    """NumPy Kadane over every diagonal: max gap-free segment score.
+    Ties break row-major (lowest (i, j)), like the kernels."""
+    Lq, Lt = s.shape
+    H = np.zeros((Lq, Lt))
+    for i in range(Lq):
+        for j in range(Lt):
+            diag = H[i - 1, j - 1] if (i > 0 and j > 0) else 0.0
+            H[i, j] = max(0.0, diag + s[i, j])
+    best = H.max()
+    bi, bj = np.unravel_index(np.argmax(H), H.shape)  # row-major argmax
+    return best, int(bi), int(bj)
+
+
+def test_ungapped_xla_matches_numpy():
+    from unicore_tpu.ops.sw import ungapped_forward_xla
+
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 48, 64)
+    scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
+    best, bi, bj = map(np.array, ungapped_forward_xla(scores))
+    for b in range(8):
+        rb, ri, rj = _ungapped_ref(scores[b, : qlen[b], : tlen[b]].astype(np.float64))
+        assert best[b] == pytest.approx(rb), f"pair {b}"
+        if rb > 0:
+            assert (bi[b], bj[b]) == (ri, rj), f"pair {b} end"
+
+
+def test_pallas_ungapped_interpret():
+    """Pallas ungapped mode == XLA ungapped reference (scores and ends)."""
+    from unicore_tpu.ops.sw import ungapped_forward_xla
+
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 128, 128)
+    best, bi, bj = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True, ungapped=True,
+    )
+    scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
+    xb, xi, xj = map(np.array, ungapped_forward_xla(scores))
+    assert (np.array(best) == xb).all()
+    pos = xb > 0
+    assert (np.array(bi)[pos] == xi[pos]).all()
+    assert (np.array(bj)[pos] == xj[pos]).all()
 
 
 def test_pallas_gap_window_interpret():

@@ -139,6 +139,7 @@ def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
         rep_aa, rep_ss,
         min_shared=params.min_shared_kmers,
         coverage=params.coverage if params.cov_mode == 0 else 0.0,
+        sens=params.sens, max_seqs=params.max_seqs,
     )
     r_aa, r_ss = encode_db(rep_aa, rep_ss)
     rhits = engine.align_pairs(r_aa, r_ss, r_aa, r_ss, rpairs)

@@ -47,6 +47,18 @@ class AlignParams:
     min_shared_kmers: int = 2
     backend: str = "auto"  # auto | pallas | xla
     batch_size: int = 512  # pairs per device batch
+    # ungapped diagonal rescore gate between the k-mer prefilter and
+    # gapped SW (foldseek's rescore stage, cluster.rs:43-55 pipeline).
+    # Internal scoring units (~2.857x foldseek's); 40 =~ foldseek 14.
+    # The stage only prunes pairs whose best gap-free segment scores
+    # below this — calibrated so no pair that would survive the final
+    # coverage/E-value gates is lost (tests/test_align_engine.py).
+    min_ungapped_score: float = 40.0
+    # prefilter caps (foldseek analogs): max candidate targets per query
+    # (--max-seqs) and sensitivity -s mapped onto the chance-excess
+    # threshold of the hashed k-mer bag (higher s => more permissive)
+    max_seqs: int = 1000
+    sens: float = 5.7
 
     @classmethod
     def from_options(cls, options: str) -> "AlignParams":
@@ -76,8 +88,14 @@ class AlignParams:
                 p.gap_open = round(float(val()) * 2.8571)
             elif t == "--gap-extend":
                 p.gap_extend = round(float(val()) * 2.8571)
-            elif t in ("--threads", "-v", "--max-seqs", "-s"):
-                val()  # accepted, handled elsewhere / ignored
+            elif t == "--min-ungapped-score":
+                p.min_ungapped_score = round(float(val()) * 2.8571)
+            elif t == "--max-seqs":
+                p.max_seqs = int(val())
+            elif t == "-s":
+                p.sens = float(val())
+            elif t in ("--threads", "-v"):
+                val()  # accepted, handled elsewhere
             i += 1
         return p
 
@@ -115,6 +133,12 @@ class AlignmentEngine:
         self.params = params or AlignParams()
         self.saa = get_aa_matrix().astype(np.float32)
         self.s3d = get_3di_matrix().astype(np.float32)
+        # integer-valued matrices are the exactness contract for the bf16
+        # score scratch and the int16 DP path (ops/sw.py)
+        for m in (self.saa, self.s3d):
+            if not np.array_equal(m, np.round(m)):
+                raise ValueError("substitution matrices must be integer-valued "
+                                 "(bf16/int16 exactness contract, ops/sw.py)")
         self._lambda = stats.combined_lambda(
             self.saa[:20, :20], self.s3d[:20, :20], self.params.w_aa, self.params.w_3di
         )
@@ -132,6 +156,7 @@ class AlignmentEngine:
         self,
         qa: np.ndarray, qs: np.ndarray, ta: np.ndarray, ts: np.ndarray,
         qlen: np.ndarray, tlen: np.ndarray,
+        ungapped: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(B,) best / qend / tend for one padded batch."""
         p = self.params
@@ -139,30 +164,101 @@ class AlignmentEngine:
         if backend == "pallas":
             import jax
             devs = jax.devices()
-            if len(devs) > 1 and devs[0].platform in ("tpu", "axon") and qa.shape[0] % (len(devs) * 16) == 0:
-                # multi-chip: shard the pair batch over all local devices
+            if len(devs) > 1 and devs[0].platform in ("tpu", "axon"):
+                # multi-chip: shard the pair batch over all local devices.
+                # Batches are PADDED up to a devices*tile multiple (never
+                # silently dropped to single-device): a multi-chip run
+                # stays multi-chip for every batch, including the tail.
+                B0 = qa.shape[0]
+                B = _round_up(B0, len(devs) * 16)
+                if B != B0:
+                    padn = B - B0
+                    qa = np.concatenate([qa, np.full((padn, qa.shape[1]), 20, qa.dtype)])
+                    qs = np.concatenate([qs, np.full((padn, qs.shape[1]), 20, qs.dtype)])
+                    ta = np.concatenate([ta, np.full((padn, ta.shape[1]), 20, ta.dtype)])
+                    ts = np.concatenate([ts, np.full((padn, ts.shape[1]), 20, ts.dtype)])
+                    qlen = np.concatenate([qlen, np.ones(padn, qlen.dtype)])
+                    tlen = np.concatenate([tlen, np.ones(padn, tlen.dtype)])
                 from jax.sharding import Mesh
                 from unicore_tpu.ops.sw import sw_forward_sharded
                 mesh = Mesh(np.asarray(devs), ("dp",))
                 best, qe, te = sw_forward_sharded(
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d, mesh,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
-                    backend="pallas",
+                    backend="pallas", ungapped=ungapped,
                 )
+                best, qe, te = best[:B0], qe[:B0], te[:B0]
             else:
                 from unicore_tpu.ops.sw import sw_forward_pallas
                 best, qe, te = sw_forward_pallas(
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
+                    ungapped=ungapped,
                 )
         else:
-            from unicore_tpu.ops.sw import build_scores, sw_forward_xla
+            from unicore_tpu.ops.sw import (
+                build_scores, sw_forward_xla, ungapped_forward_xla,
+            )
             scores = build_scores(qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
                                   w_aa=p.w_aa, w_3di=p.w_3di)
-            best, qe, te = sw_forward_xla(scores, go=p.gap_open, ge=p.gap_extend)
+            if ungapped:
+                best, qe, te = ungapped_forward_xla(scores)
+            else:
+                best, qe, te = sw_forward_xla(scores, go=p.gap_open, ge=p.gap_extend)
         # return device arrays: callers collect after dispatching all
         # batches, overlapping host-side packing with device compute
         return best, qe, te
+
+    # ------------------------------------------------------------------
+    def _sw_pass(
+        self, entries: List[tuple], ungapped: bool = False,
+        counter: str = "align",
+    ) -> Dict[int, Tuple[float, int, int]]:
+        """Bucketed, padded, batched kernel dispatch.
+
+        `entries` is a list of (key, qa, qs, ta, ts) per pair (code
+        arrays, unpadded).  Returns {key: (best, qend, tend)}.  All
+        batches are dispatched before any result is collected, so host
+        packing overlaps device compute.
+        """
+        p = self.params
+        from unicore_tpu.runtime import profiling
+        t0 = __import__("time").time()
+        buckets: Dict[Tuple[int, int], List[tuple]] = {}
+        for e in entries:
+            b = _bucket(max(len(e[1]), len(e[3])))
+            buckets.setdefault((b, b), []).append(e)
+        inflight = []
+        for (LQ, LT), items in sorted(buckets.items()):
+            for s0 in range(0, len(items), p.batch_size):
+                chunk = items[s0 : s0 + p.batch_size]
+                # fixed batch shape whenever the bucket spans multiple
+                # chunks: one compile per (LQ, LT) shape, not per chunk
+                B = p.batch_size if len(items) > p.batch_size else _round_up(len(chunk), 16)
+                qa = np.full((B, LQ), 20, dtype=np.int32)
+                qs = np.full((B, LQ), 20, dtype=np.int32)
+                ta = np.full((B, LT), 20, dtype=np.int32)
+                ts = np.full((B, LT), 20, dtype=np.int32)
+                ql = np.ones(B, dtype=np.int32)
+                tl = np.ones(B, dtype=np.int32)
+                for row, (_, eqa, eqs, eta, ets) in enumerate(chunk):
+                    ql[row] = len(eqa)
+                    tl[row] = len(eta)
+                    qa[row, : ql[row]] = eqa
+                    qs[row, : ql[row]] = eqs
+                    ta[row, : tl[row]] = eta
+                    ts[row, : tl[row]] = ets
+                inflight.append(
+                    (chunk, self._forward_batch(qa, qs, ta, ts, ql, tl, ungapped=ungapped))
+                )
+                profiling.add_counter(f"{counter}.cells", float(B) * LQ * LT)
+        out: Dict[int, Tuple[float, int, int]] = {}
+        for chunk, (b, qe, te) in inflight:
+            b, qe, te = np.asarray(b), np.asarray(qe), np.asarray(te)
+            for row, e in enumerate(chunk):
+                out[e[0]] = (float(b[row]), int(qe[row]), int(te[row]))
+        profiling.add_counter(f"{counter}.seconds", __import__("time").time() - t0)
+        return out
 
     # ------------------------------------------------------------------
     def align_pairs(
@@ -180,50 +276,35 @@ class AlignmentEngine:
         qlen_all = np.array([len(a) for a in q_aa])
         tlen_all = np.array([len(a) for a in t_aa])
 
-        # bucket pairs by padded shapes to bound compile count; square
-        # buckets (Lq == Lt) keep the number of distinct compiled shapes
-        # to a handful across fwd+rev passes
-        buckets: Dict[Tuple[int, int], List[int]] = {}
-        for k, (qi, ti) in enumerate(pairs):
-            b = _bucket(max(qlen_all[qi], tlen_all[ti]))
-            buckets.setdefault((b, b), []).append(k)
+        # ---- ungapped diagonal rescore gate (foldseek rescore analog) ----
+        # The per-row cost of the diagonal chain is ~10x cheaper than
+        # gapped SW, so pruning here directly saves SW wall-clock.
+        live = list(range(len(pairs)))
+        if p.min_ungapped_score > 0:
+            entries = [
+                (k, q_aa[qi], q_ss[qi], t_aa[ti], t_ss[ti])
+                for k, (qi, ti) in enumerate(pairs)
+            ]
+            diag = self._sw_pass(entries, ungapped=True, counter="rescore")
+            live = [k for k in live if diag[k][0] >= p.min_ungapped_score]
+            msg.print_message(
+                f" [rescore kept {len(live)}/{len(pairs)}]", 4)
 
         best = np.zeros(len(pairs))
         qend = np.zeros(len(pairs), dtype=np.int64)
         tend = np.zeros(len(pairs), dtype=np.int64)
+        pruned = np.ones(len(pairs), dtype=bool)
+        pruned[live] = False
 
-        from unicore_tpu.runtime import profiling
-        t_align0 = __import__("time").time()
-        inflight = []
-        for (LQ, LT), idxs in sorted(buckets.items()):
-            for s0 in range(0, len(idxs), p.batch_size):
-                chunk = idxs[s0 : s0 + p.batch_size]
-                # fixed batch shape whenever the bucket spans multiple
-                # chunks: one compile per (LQ, LT) shape, not per chunk
-                B = p.batch_size if len(idxs) > p.batch_size else _round_up(len(chunk), 16)
-                qa = np.full((B, LQ), 20, dtype=np.int32)
-                qs = np.full((B, LQ), 20, dtype=np.int32)
-                ta = np.full((B, LT), 20, dtype=np.int32)
-                ts = np.full((B, LT), 20, dtype=np.int32)
-                ql = np.ones(B, dtype=np.int32)
-                tl = np.ones(B, dtype=np.int32)
-                for row, k in enumerate(chunk):
-                    qi, ti = pairs[k]
-                    ql[row] = qlen_all[qi]
-                    tl[row] = tlen_all[ti]
-                    qa[row, : ql[row]] = q_aa[qi]
-                    qs[row, : ql[row]] = q_ss[qi]
-                    ta[row, : tl[row]] = t_aa[ti]
-                    ts[row, : tl[row]] = t_ss[ti]
-                inflight.append((chunk, self._forward_batch(qa, qs, ta, ts, ql, tl)))
-                profiling.add_counter("align.cells", float(B) * LQ * LT)
-        for chunk, (b, qe, te) in inflight:
-            b, qe, te = np.asarray(b), np.asarray(qe), np.asarray(te)
-            for row, k in enumerate(chunk):
-                best[k] = b[row]
-                qend[k] = qe[row]
-                tend[k] = te[row]
-        profiling.add_counter("align.seconds", __import__("time").time() - t_align0)
+        fwd = self._sw_pass(
+            [(k, q_aa[pairs[k][0]], q_ss[pairs[k][0]],
+              t_aa[pairs[k][1]], t_ss[pairs[k][1]]) for k in live],
+            counter="align",
+        )
+        for k, (b, qe, te) in fwd.items():
+            best[k] = b
+            qend[k] = qe
+            tend[k] = te
 
         # ---- reverse pass for starts ----
         # exact pre-filters: an alignment ending at (qend, tend) can cover
@@ -231,9 +312,11 @@ class AlignmentEngine:
         # the target side.  Pairs that already fail these (or the E-value
         # gate on the final score) never need the reverse pass.
         n_db = float(tlen_all.sum())
-        skip = np.zeros(len(pairs), dtype=bool)
+        skip = pruned.copy()
         cov = p.coverage
         for k, (qi, ti) in enumerate(pairs):
+            if skip[k]:
+                continue
             if best[k] <= 0:
                 skip[k] = True
                 continue
@@ -248,41 +331,20 @@ class AlignmentEngine:
 
         starts_q = np.zeros(len(pairs), dtype=np.int64)
         starts_t = np.zeros(len(pairs), dtype=np.int64)
-        rev_buckets: Dict[Tuple[int, int], List[int]] = {}
+        rev_entries = []
         for k, (qi, ti) in enumerate(pairs):
             if skip[k]:
                 continue
-            b = _bucket(max(qend[k] + 1, tend[k] + 1))
-            rev_buckets.setdefault((b, b), []).append(k)
-
-        inflight = []
-        for (LQ, LT), idxs in sorted(rev_buckets.items()):
-            for s0 in range(0, len(idxs), p.batch_size):
-                chunk = idxs[s0 : s0 + p.batch_size]
-                # fixed batch shape whenever the bucket spans multiple
-                # chunks: one compile per (LQ, LT) shape, not per chunk
-                B = p.batch_size if len(idxs) > p.batch_size else _round_up(len(chunk), 16)
-                qa = np.full((B, LQ), 20, dtype=np.int32)
-                qs = np.full((B, LQ), 20, dtype=np.int32)
-                ta = np.full((B, LT), 20, dtype=np.int32)
-                ts = np.full((B, LT), 20, dtype=np.int32)
-                ql = np.ones(B, dtype=np.int32)
-                tl = np.ones(B, dtype=np.int32)
-                for row, k in enumerate(chunk):
-                    qi, ti = pairs[k]
-                    nq, nt = qend[k] + 1, tend[k] + 1
-                    ql[row] = nq
-                    tl[row] = nt
-                    qa[row, :nq] = q_aa[qi][:nq][::-1]
-                    qs[row, :nq] = q_ss[qi][:nq][::-1]
-                    ta[row, :nt] = t_aa[ti][:nt][::-1]
-                    ts[row, :nt] = t_ss[ti][:nt][::-1]
-                inflight.append((chunk, self._forward_batch(qa, qs, ta, ts, ql, tl)))
-        for chunk, (b, qe, te) in inflight:
-            qe, te = np.asarray(qe), np.asarray(te)
-            for row, k in enumerate(chunk):
-                starts_q[k] = qend[k] - qe[row]
-                starts_t[k] = tend[k] - te[row]
+            nq, nt = qend[k] + 1, tend[k] + 1
+            rev_entries.append((
+                k,
+                q_aa[qi][:nq][::-1], q_ss[qi][:nq][::-1],
+                t_aa[ti][:nt][::-1], t_ss[ti][:nt][::-1],
+            ))
+        rev = self._sw_pass(rev_entries, counter="align")
+        for k, (_, qe, te) in rev.items():
+            starts_q[k] = qend[k] - qe
+            starts_t[k] = tend[k] - te
 
         hits = []
         for k, (qi, ti) in enumerate(pairs):

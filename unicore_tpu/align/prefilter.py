@@ -72,11 +72,18 @@ def candidate_pairs(
     target_aa: List[str] | None = None,
     target_ss: List[str] | None = None,
     block: int = 4096,
+    sens: float = 5.7,
+    max_seqs: int = 0,
 ) -> List[Tuple[int, int]]:
     """Return candidate (i, j) pairs.
 
     All-vs-all mode (target_* None): i < j over one set.
     Search mode: i indexes the query set, j the target set.
+
+    `sens` is the foldseek `-s` sensitivity analog: it scales the
+    chance-excess sigma multiplier (higher s => lower threshold => more
+    candidates).  `max_seqs` (foldseek --max-seqs) caps candidates per
+    query, keeping the highest shared-k-mer excess ones; 0 = unlimited.
     """
     import jax.numpy as jnp
 
@@ -92,7 +99,10 @@ def candidate_pairs(
 
     # chance-overlap correction: two unrelated bags with set bits kq, kt
     # share ~ dim * (kq/dim) * (kt/dim) features; require an excess of
-    # max(min_shared, 3*sigma) over that expectation
+    # max(min_shared, nsigma*sigma) over that expectation.  nsigma is the
+    # sensitivity dial: 3.0 at the default -s 5.7, scaled inversely with
+    # s and clamped to [1.5, 6.0].
+    nsigma = float(np.clip(3.0 * (5.7 / max(sens, 0.1)), 1.5, 6.0))
     kq = fq.sum(axis=1)
     kt = ft.sum(axis=1)
     for i0 in range(0, Nq, block):
@@ -101,12 +111,16 @@ def candidate_pairs(
         for ii in range(i1 - i0):
             i = i0 + ii
             expected = kq[i] * kt / dim
-            thr = expected + np.maximum(min_shared, 3.0 * np.sqrt(expected + 1.0))
-            cand = np.nonzero(shared[ii] >= thr)[0]
+            excess = shared[ii] - expected
+            thr = np.maximum(min_shared, nsigma * np.sqrt(expected + 1.0))
+            cand = np.nonzero(excess >= thr)[0]
             if coverage > 0:
                 lr = np.minimum(lens_q[i], lens_t[cand]) / np.maximum(lens_q[i], lens_t[cand])
                 cand = cand[lr >= coverage]
             if symmetric:
                 cand = cand[cand > i]
+            if max_seqs and len(cand) > max_seqs:
+                top = np.argsort(-excess[cand], kind="stable")[:max_seqs]
+                cand = np.sort(cand[top])
             pairs.extend((i, int(j)) for j in cand)
     return pairs

@@ -48,6 +48,7 @@ def cluster_db(db: SeqDB, params: AlignParams, cascade_threshold: int = CASCADE_
         db.aa_seqs, db.ss_seqs,
         min_shared=params.min_shared_kmers,
         coverage=params.coverage if params.cov_mode == 0 else 0.0,
+        sens=params.sens, max_seqs=params.max_seqs,
     )
     msg.println_message(f" {len(pairs)} pairs from {n * (n - 1) // 2}", 3)
 

@@ -36,6 +36,7 @@ def search_dbs(query_db: SeqDB, target_db: SeqDB, params: AlignParams):
         min_shared=params.min_shared_kmers,
         coverage=params.coverage if params.cov_mode == 0 else 0.0,
         target_aa=target_db.aa_seqs, target_ss=target_db.ss_seqs,
+        sens=params.sens, max_seqs=params.max_seqs,
     )
     msg.println_message(f" {len(pairs)} pairs", 3)
 

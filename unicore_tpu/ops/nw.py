@@ -20,6 +20,19 @@ import numpy as np
 
 NEG = -1e9
 
+# Profile scores are quantized to integers (round(S * QUANT)) before the
+# DP: integer arithmetic makes the host NumPy reference and the batched
+# TPU kernel (ops/nw_device.py) bit-identical — every max/add is exact,
+# so tie-breaking decisions match with no float-reduction-order caveats.
+# 256 keeps |S_q| within int16 (cells < ~9k in MSA units) while the
+# 0.2%-of-a-unit rounding is far below profile-score noise.
+QUANT = 256
+
+
+def quantize_scores(S: np.ndarray) -> np.ndarray:
+    """Deterministic integer quantization of a float score matrix."""
+    return np.rint(np.asarray(S, dtype=np.float64) * QUANT).astype(np.int32)
+
 
 def profile_scores(
     fa1: np.ndarray, fa2: np.ndarray, saa: np.ndarray,

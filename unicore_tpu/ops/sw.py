@@ -125,6 +125,40 @@ def sw_forward_xla(
     return best, bi, bj
 
 
+@jax.jit
+def ungapped_forward_xla(
+    scores: jnp.ndarray,  # (B, Lq, Lt) float32, padded cells already ~NEG
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Max ungapped diagonal segment score (foldseek rescore-stage analog).
+
+    Each diagonal is an independent maximal-segment (Kadane) chain:
+    H[i][j] = max(0, H[i-1][j-1] + s[i][j]).  One vector op per row —
+    roughly an order of magnitude cheaper than gapped SW."""
+    B, Lq, Lt = scores.shape
+
+    def row_step(carry, s_row):
+        H_prev, best, bi, bj, i = carry
+        diag = jnp.pad(H_prev[:, :-1], ((0, 0), (1, 0)))
+        H = jnp.maximum(0.0, diag + s_row)
+        row_max = jnp.max(H, axis=1)
+        row_arg = jnp.argmax(H, axis=1).astype(jnp.int32)
+        upd = row_max > best
+        best = jnp.where(upd, row_max, best)
+        bi = jnp.where(upd, i, bi)
+        bj = jnp.where(upd, row_arg, bj)
+        return (H, best, bi, bj, i + 1), None
+
+    init = (
+        jnp.zeros((B, Lt), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.int32(0),
+    )
+    (_, best, bi, bj, _), _ = jax.lax.scan(row_step, init, jnp.swapaxes(scores, 0, 1))
+    return best, bi, bj
+
+
 # ---------------------------------------------------------------------------
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
@@ -150,6 +184,7 @@ def _sw_kernel(
     gap_window: int = 0,
     chains: int = 1,
     dp_dtype=jnp.float32,
+    ungapped: bool = False,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
@@ -168,6 +203,14 @@ def _sw_kernel(
     int_dp = dp_dtype == jnp.int16
     NEGv = -20000 if int_dp else NEG
     H_CAP = 30000
+    # Safety coupling: masked cells carry the sc-scratch sentinel (-20000),
+    # so a diagonal extension INTO a masked cell scores at most
+    # H_CAP + (-20000) = 10000.  The true best of any pair that reaches
+    # H > 20000 is itself > 20000, so ghost values can never win the
+    # per-column max — but ONLY while H_CAP - |sentinel| < |sentinel|.
+    # Keep the two constants tied: changing either alone breaks masking.
+    if int_dp:
+        assert H_CAP - 20000 < 20000, (H_CAP, NEGv)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (CB, LT), 1)
     col_local = col & (SEG_L - 1)          # SEG_L is a power of two
@@ -256,6 +299,16 @@ def _sw_kernel(
 
     def one_row(i_global, H_prev, F_prev, s_row, BBv, BRv):
         diag = jnp.where(m0, zero, pltpu.roll(H_prev, shift=1, axis=1))
+        if ungapped:
+            # ungapped diagonal rescore: every diagonal is an independent
+            # maximal-segment chain — no gap states at all (the TPU analog
+            # of foldseek's ungapped rescore stage between the k-mer match
+            # and gapped SW, cluster.rs:43-55 pipeline contract)
+            H = jnp.maximum(zero, diag + s_row)
+            upd = H > BBv
+            BBv = jnp.where(upd, H, BBv)
+            BRv = jnp.where(upd, i_global.astype(ridx_dtype), BRv)
+            return H, F_prev, BBv, BRv
         F = jnp.maximum(H_prev - goc, F_prev - gec)
         H0 = jnp.maximum(zero, jnp.maximum(diag + s_row, F))
         t = H0 + jge
@@ -344,7 +397,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype", "ungapped",
     ),
 )
 def sw_forward_pallas(
@@ -378,6 +431,9 @@ def sw_forward_pallas(
                             # 30000, above any real protein pair's score in
                             # the default units (>=230 identical residues at
                             # max per-residue score; see BENCH_NOTES.md).
+    ungapped: bool = False,  # diagonal-only maximal segment score (no gap
+                             # states): the rescore stage between the k-mer
+                             # prefilter and gapped SW
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -425,9 +481,19 @@ def sw_forward_pallas(
     assert BT % chains == 0 and (BT // chains) % 8 == 0, (BT, chains)
     if dp_dtype == "i16":
         assert float(go) == int(go) and float(ge) == int(ge), (go, ge)
+        # the per-cell scores fed to the int16 DP must themselves be
+        # integers or astype(int16) silently truncates: weights integral
+        # (the substitution matrices are integer-valued by contract —
+        # checked host-side in align/engine.py)
+        assert float(w_aa) == int(w_aa) and float(w_3di) == int(w_3di), (w_aa, w_3di)
         # no intermediate may wrap: t = H (<= cap 30000) + jge (<= SEG_L*ge)
         # plus one cell score (< 150) must stay below 32767
         assert Lt * ge + 30000 + 150 < 32767, (Lt, ge)
+        # the best-row scratch is int16 too: global row indices must fit
+        assert Lq < 32768, ("i16 row-index scratch wraps at Lq >= 32768", Lq)
+        # int16 native tile is (16, 128): each chain's sublane slice must
+        # stay 16-aligned or Mosaic falls off the fast layout
+        assert (BT // chains) % 16 == 0, (BT, chains)
         dp_jdt, ridx_jdt = jnp.int16, jnp.int16
     else:
         dp_jdt, ridx_jdt = jnp.float32, jnp.int32
@@ -436,6 +502,7 @@ def sw_forward_pallas(
         BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
         gap_window=gap_window, chains=chains, dp_dtype=dp_jdt,
+        ungapped=ungapped,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -511,6 +578,7 @@ def sw_forward_sharded(
     w_aa: float = W_AA_INT,
     w_3di: float = W_3DI_INT,
     backend: str = "pallas",
+    ungapped: bool = False,
 ):
     """Run the forward kernel data-parallel over every device of `mesh`.
 
@@ -533,7 +601,7 @@ def sw_forward_sharded(
         def local(qa, qs, ta, ts, ql, tl, saa, s3d):
             return sw_forward_pallas(
                 qa, qs, ta, ts, ql, tl, saa, s3d,
-                go=go, ge=ge, w_aa=w_aa, w_3di=w_3di,
+                go=go, ge=ge, w_aa=w_aa, w_3di=w_3di, ungapped=ungapped,
             )
     else:
         def local(qa, qs, ta, ts, ql, tl, saa, s3d):
@@ -546,6 +614,8 @@ def sw_forward_sharded(
             tm = jnp.arange(Lt)[None, :] < tl[:, None]
             mask = qm[:, :, None] & tm[:, None, :]
             s = jnp.where(mask, s.astype(jnp.float32), NEG)
+            if ungapped:
+                return ungapped_forward_xla(s)
             return sw_forward_xla(s, go=go, ge=ge)
 
     fn = _sm(
