@@ -48,7 +48,7 @@ def _measure() -> None:
     s3d = default_3di_matrix().astype(np.float32)
 
     if on_tpu:
-        B, L, iters = 2048, 512, 10
+        B, L, iters = 2048, 512, 20
         dsaa, ds3d = jnp.asarray(saa), jnp.asarray(s3d)
         qa = jnp.asarray(rng.randint(0, 20, (B, L)).astype(np.int32))
         qs = jnp.asarray(rng.randint(0, 20, (B, L)).astype(np.int32))
@@ -60,7 +60,11 @@ def _measure() -> None:
         def loop(seed, n):
             def body(i, acc):
                 q2 = jnp.roll(qa, i + seed, axis=0)
-                b, _, _ = sw_forward_pallas(q2, qs, ta, ts, ln, ln, dsaa, ds3d)
+                # the engine's shipping config (align/engine.py defaults):
+                # windowed gap scan + the auto batch tile (64)
+                b, _, _ = sw_forward_pallas(
+                    q2, qs, ta, ts, ln, ln, dsaa, ds3d, gap_window=64,
+                )
                 return acc + jnp.sum(b)
             return jax.lax.fori_loop(0, n, body, 0.0)
 

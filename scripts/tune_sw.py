@@ -24,23 +24,19 @@ import numpy as np
 from unicore_tpu.matrices import BLOSUM62, default_3di_matrix
 from unicore_tpu.ops.sw import sw_forward_pallas
 
+# int16 DP is untunable on this toolchain: the Mosaic remote compiler
+# crashes on ANY int16 vector arithmetic (max/add/roll — probed op by op,
+# see BENCH_NOTES.md round 2).  All configs below are f32 DP.
 CONFIGS = [
     {},  # f32 default = correctness reference
-    {"dp_dtype": "i16"},
-    {"chains": 2},
-    {"dp_dtype": "i16", "chains": 2},
-    {"gap_window": 64},
-    {"dp_dtype": "i16", "gap_window": 64},
-    {"dp_dtype": "i16", "gap_window": 32},
-    {"dp_dtype": "i16", "chains": 2, "gap_window": 64},
-    {"dp_dtype": "i16", "batch_tile": 64},
-    {"dp_dtype": "i16", "chains": 2, "gap_window": 64, "batch_tile": 64},
-    {"ungapped": True},
-    {"ungapped": True, "dp_dtype": "i16"},
+    {"gap_window": 64, "batch_tile": 64},
+    {"gap_window": 64, "batch_tile": 96},
+    {"gap_window": 64, "batch_tile": 96, "chains": 2},
+    {"ungapped": True, "batch_tile": 64},
 ]
 
 
-def run_shape(B: int, L: int, iters: int = 10) -> None:
+def run_shape(B: int, L: int, iters: int = 40) -> None:
     rng = np.random.RandomState(7)
     saa = jnp.asarray(BLOSUM62.astype(np.float32))
     s3d = jnp.asarray(default_3di_matrix().astype(np.float32))
@@ -53,6 +49,7 @@ def run_shape(B: int, L: int, iters: int = 10) -> None:
     ref_out = None
     for kw in CONFIGS:
         label = ",".join(f"{k}={v}" for k, v in kw.items()) or "f32-default"
+        iters_c = iters * 10 if kw.get("ungapped") else iters
 
         def call(q2, kw=kw):
             return sw_forward_pallas(q2, qs, ta, ts, ln, ln, saa, s3d, **kw)
@@ -76,13 +73,13 @@ def run_shape(B: int, L: int, iters: int = 10) -> None:
                 ok = True
             else:
                 ok = all((np.asarray(a) == b).all() for a, b in zip(out, ref_out))
-            jax.block_until_ready(loop(jnp.int32(0), n=iters))
+            jax.block_until_ready(loop(jnp.int32(0), n=iters_c))
             times = []
             for seed in (1000, 2000):
                 t0 = time.time()
-                jax.block_until_ready(loop(jnp.int32(seed), n=iters))
+                jax.block_until_ready(loop(jnp.int32(seed), n=iters_c))
                 times.append(time.time() - t0)
-            dt = max((min(times) - 0.1) / iters, 1e-6)
+            dt = max((min(times) - 0.1) / iters_c, 1e-6)
             gcups = B * L * L / dt / 1e9
             print(json.dumps({
                 "shape": f"{B}x{L}", "config": label,

@@ -174,6 +174,30 @@ def test_evalue_monotone():
     assert e2 < e1
 
 
+def test_evalue_calibration_within_2x():
+    """Calibrated gapped (lambda, K) predicts held-out random-score tails
+    within ~2x across the quantile range (VERDICT #8 contract)."""
+    eng = AlignmentEngine(_params())
+    lam, K = eng._stats()
+    assert 0.01 < lam < 1.0
+
+    rng = np.random.RandomState(99)  # held-out seed
+    B, L = 384, 128
+    qa = rng.randint(0, 20, (B, L)).astype(np.int32)
+    qs = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ta = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ts = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ln = np.full(B, L, np.int32)
+    best, _, _ = eng._forward_batch(qa, qs, ta, ts, ln, ln)
+    best = np.asarray(best, dtype=np.float64)
+
+    for q in (0.5, 0.2, 0.05):
+        x = np.quantile(best, 1 - q)
+        pred = 1.0 - np.exp(-K * L * L * np.exp(-lam * x))
+        emp = float((best >= x).mean())
+        assert pred / 2.2 <= emp <= pred * 2.2, (q, x, pred, emp)
+
+
 def test_cascaded_cluster_small():
     """Cascade path (forced low threshold) groups families like the
     single-round path."""

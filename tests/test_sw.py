@@ -195,6 +195,25 @@ def test_pallas_ungapped_interpret():
     assert (np.array(bj)[pos] == xj[pos]).all()
 
 
+def test_gap_window_same_algorithm_both_backends():
+    """The windowed-gap recurrence is one algorithm on both backends:
+    XLA scan with gap_window == Pallas kernel with gap_window (the
+    engine's cross-backend byte-identical-output contract)."""
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 128, 128)
+    pal = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True, gap_window=64,
+    )
+    scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
+    xla = sw_forward_xla(scores, go=GO, ge=GE, gap_window=64)
+    for a, b in zip(pal, xla):
+        a, b = np.array(a), np.array(b)
+        pos = np.array(pal[0]) > 0
+        assert (a[pos] == b[pos]).all()
+
+
 def test_pallas_gap_window_interpret():
     """Windowed scan equals full scan when no optimal gap exceeds it."""
     saa = BLOSUM62.astype(np.float32)

@@ -59,6 +59,13 @@ class AlignParams:
     # threshold of the hashed k-mer bag (higher s => more permissive)
     max_seqs: int = 1000
     sens: float = 5.7
+    # target-side gap runs are capped at this length in BOTH backends
+    # (identical windowed-gap algorithm on TPU and CPU, so outputs stay
+    # byte-identical across backends).  A 64-gap costs 28+63*3 = 217
+    # internal units — beyond any alignment that passes the default
+    # coverage gate; exactness vs full Gotoh is asserted on every tested
+    # distribution (tests/test_sw.py).  0 = unbounded (full scan).
+    gap_window: int = 64
 
     @classmethod
     def from_options(cls, options: str) -> "AlignParams":
@@ -142,6 +149,29 @@ class AlignmentEngine:
         self._lambda = stats.combined_lambda(
             self.saa[:20, :20], self.s3d[:20, :20], self.params.w_aa, self.params.w_3di
         )
+        self._gapped: Optional[Tuple[float, float]] = None
+
+    # ------------------------------------------------------------------
+    def _stats(self) -> Tuple[float, float]:
+        """Calibrated gapped (lambda, K): fitted by simulating the actual
+        kernel on random pairs (disk-cached per scoring config); replaces
+        the ungapped-lambda + fixed-K approximation."""
+        if self._gapped is None:
+            import hashlib
+            p = self.params
+            keysrc = (
+                self.saa.tobytes() + self.s3d.tobytes()
+                + np.array([p.w_aa, p.w_3di, p.gap_open, p.gap_extend,
+                            float(p.gap_window)]).tobytes()
+            )
+            key = hashlib.md5(keysrc).hexdigest()[:16]
+
+            def score_fn(qa, qs, ta, ts, ql, tl):
+                b, _, _ = self._forward_batch(qa, qs, ta, ts, ql, tl)
+                return np.asarray(b)
+
+            self._gapped = stats.calibrate_gapped(score_fn, key)
+        return self._gapped
 
     # ------------------------------------------------------------------
     def _backend(self) -> str:
@@ -186,6 +216,7 @@ class AlignmentEngine:
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d, mesh,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
                     backend="pallas", ungapped=ungapped,
+                    gap_window=p.gap_window,
                 )
                 best, qe, te = best[:B0], qe[:B0], te[:B0]
             else:
@@ -193,7 +224,7 @@ class AlignmentEngine:
                 best, qe, te = sw_forward_pallas(
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
-                    ungapped=ungapped,
+                    ungapped=ungapped, gap_window=p.gap_window,
                 )
         else:
             from unicore_tpu.ops.sw import (
@@ -204,7 +235,9 @@ class AlignmentEngine:
             if ungapped:
                 best, qe, te = ungapped_forward_xla(scores)
             else:
-                best, qe, te = sw_forward_xla(scores, go=p.gap_open, ge=p.gap_extend)
+                best, qe, te = sw_forward_xla(
+                    scores, go=p.gap_open, ge=p.gap_extend, gap_window=p.gap_window
+                )
         # return device arrays: callers collect after dispatching all
         # batches, overlapping host-side packing with device compute
         return best, qe, te
@@ -312,6 +345,7 @@ class AlignmentEngine:
         # the target side.  Pairs that already fail these (or the E-value
         # gate on the final score) never need the reverse pass.
         n_db = float(tlen_all.sum())
+        lam_g, K_g = self._stats()
         skip = pruned.copy()
         cov = p.coverage
         for k, (qi, ti) in enumerate(pairs):
@@ -326,7 +360,7 @@ class AlignmentEngine:
             if p.cov_mode in (0, 1) and (tend[k] + 1) < cov * tlen_all[ti]:
                 skip[k] = True
                 continue
-            if float(stats.evalue(best[k], qlen_all[qi], n_db, self._lambda)) > p.evalue:
+            if float(stats.evalue(best[k], qlen_all[qi], n_db, lam_g, K_g)) > p.evalue:
                 skip[k] = True
 
         starts_q = np.zeros(len(pairs), dtype=np.int64)
@@ -350,8 +384,8 @@ class AlignmentEngine:
         for k, (qi, ti) in enumerate(pairs):
             if skip[k]:
                 continue
-            ev = float(stats.evalue(best[k], qlen_all[qi], n_db, self._lambda))
-            bits = float(stats.bitscore(best[k], self._lambda))
+            ev = float(stats.evalue(best[k], qlen_all[qi], n_db, lam_g, K_g))
+            bits = float(stats.bitscore(best[k], lam_g, K_g))
             hits.append(
                 Hit(
                     qidx=int(qi), tidx=int(ti), score=float(best[k]),

@@ -76,22 +76,28 @@ GAP_EXTEND_INT = 3.0
 # XLA (lax) backend — same recurrence, jit-friendly, any device
 # ---------------------------------------------------------------------------
 
-def _prefix_max(t: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix max along the last axis, log-step shifts."""
+def _prefix_max(t: jnp.ndarray, window: int = 0) -> jnp.ndarray:
+    """Inclusive prefix max along the last axis, log-step shifts.
+
+    `window > 0` caps the lookback to the window (the XLA counterpart of
+    the Pallas kernel's gap_window: both backends then compute the SAME
+    windowed-gap algorithm, keeping TPU/CPU outputs byte-identical)."""
     L = t.shape[-1]
+    limit = L if not window else min(L, window)
     d = 1
-    while d < L:
+    while d < limit:
         shifted = jnp.pad(t[..., :-d], [(0, 0)] * (t.ndim - 1) + [(d, 0)], constant_values=NEG)
         t = jnp.maximum(t, shifted)
         d *= 2
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("go", "ge"))
+@functools.partial(jax.jit, static_argnames=("go", "ge", "gap_window"))
 def sw_forward_xla(
     scores: jnp.ndarray,  # (B, Lq, Lt) float32, padded cells already ~NEG
     go: float = GAP_OPEN_INT,
     ge: float = GAP_EXTEND_INT,
+    gap_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq, Lt = scores.shape
     jge = (jnp.arange(Lt, dtype=jnp.float32) * ge)[None, :]  # (1, Lt)
@@ -101,7 +107,7 @@ def sw_forward_xla(
         diag = jnp.pad(H_prev[:, :-1], ((0, 0), (1, 0)))
         F = jnp.maximum(H_prev - go, F_prev - ge)
         H0 = jnp.maximum(0.0, jnp.maximum(diag + s_row, F))
-        P = _prefix_max(H0 + jge)
+        P = _prefix_max(H0 + jge, window=gap_window)
         Pexc = jnp.pad(P[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
         E = Pexc - go + ge - jge
         H = jnp.maximum(H0, E)
@@ -185,6 +191,7 @@ def _sw_kernel(
     chains: int = 1,
     dp_dtype=jnp.float32,
     ungapped: bool = False,
+    unroll: int = 8,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
@@ -215,6 +222,9 @@ def _sw_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (CB, LT), 1)
     col_local = col & (SEG_L - 1)          # SEG_L is a power of two
     jge = (col_local * int(ge)).astype(dp_dtype) if int_dp else col_local.astype(jnp.float32) * ge
+    # E = Pexc - go + ge - jge folds to one subtract with this hoisted
+    # per-column constant (2 fewer vector ops per DP row)
+    jge_go = jge + (jnp.int16(int(go) - int(ge)) if int_dp else (go - ge))
     # scan depth: full segment, or the (exact for gaps < window) cap
     scan_limit = SEG_L if not gap_window else min(SEG_L, gap_window)
     scan_masks = []
@@ -286,7 +296,7 @@ def _sw_kernel(
     # for the iteration are fetched as ONE aligned (BT, UNROLL, LT) block —
     # newer Mosaic rejects dynamic single-row indexes into the sublane dim
     # (must be provably 8-aligned), and the block load is faster anyway.
-    UNROLL = 8
+    UNROLL = unroll
     assert RB % UNROLL == 0
 
     if int_dp:
@@ -320,7 +330,7 @@ def _sw_kernel(
             d *= 2
             k += 1
         Pexc = jnp.where(m0, negc, pltpu.roll(t, shift=1, axis=1))
-        E = Pexc - goc + gec - jge
+        E = Pexc - jge_go
         H = jnp.maximum(H0, E)
         if int_dp:
             # cap so no later intermediate (H + s + Lt*ge) can wrap int16
@@ -397,7 +407,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype", "ungapped",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype", "ungapped", "unroll",
     ),
 )
 def sw_forward_pallas(
@@ -434,6 +444,8 @@ def sw_forward_pallas(
     ungapped: bool = False,  # diagonal-only maximal segment score (no gap
                              # states): the rescore stage between the k-mer
                              # prefilter and gapped SW
+    unroll: int = 8,  # DP rows per fori_loop iteration (loop-overhead
+                      # amortization; must divide block_rows)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -445,9 +457,10 @@ def sw_forward_pallas(
         # within ~8 MB so DP state + double-buffered inputs still fit
         sc_bytes = 2 if score_dtype == "bf16" else 4
         rb = Lq if Lq <= block_rows else block_rows
-        # cap at 32: compile time grows with BT (the score stage is an
-        # unrolled python loop over the tile); 64 is reachable explicitly
-        BT = max(8, min(32, (8 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
+        # cap at 64: measured 1.7x over BT=32 (latency-bound chain shares
+        # more pairs per vector op; BENCH_NOTES round 2); compile ~11 s,
+        # cached.  Larger tiles exhaust VMEM (sc scratch = BT*RB*LTK*2).
+        BT = max(8, min(64, (12 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
@@ -502,7 +515,7 @@ def sw_forward_pallas(
         BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
         gap_window=gap_window, chains=chains, dp_dtype=dp_jdt,
-        ungapped=ungapped,
+        ungapped=ungapped, unroll=unroll,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -579,6 +592,7 @@ def sw_forward_sharded(
     w_3di: float = W_3DI_INT,
     backend: str = "pallas",
     ungapped: bool = False,
+    gap_window: int = 0,
 ):
     """Run the forward kernel data-parallel over every device of `mesh`.
 
@@ -602,6 +616,7 @@ def sw_forward_sharded(
             return sw_forward_pallas(
                 qa, qs, ta, ts, ql, tl, saa, s3d,
                 go=go, ge=ge, w_aa=w_aa, w_3di=w_3di, ungapped=ungapped,
+                gap_window=gap_window,
             )
     else:
         def local(qa, qs, ta, ts, ql, tl, saa, s3d):
@@ -616,7 +631,7 @@ def sw_forward_sharded(
             s = jnp.where(mask, s.astype(jnp.float32), NEG)
             if ungapped:
                 return ungapped_forward_xla(s)
-            return sw_forward_xla(s, go=go, ge=ge)
+            return sw_forward_xla(s, go=go, ge=ge, gap_window=gap_window)
 
     fn = _sm(
         local,
