@@ -55,9 +55,15 @@ def run_aligner(
     aligner: str, gene_fasta_dir: str, gene_files: List[str],
     aligner_options, threshold: int,
 ) -> None:
-    """Align every gene dir; writes the per-aligner MSA files + .filtered."""
+    """Align every gene dir; writes the per-aligner MSA files + .filtered.
+
+    Engines exposing `align_many` (the TPU progressive MSA) get ALL genes
+    in one call, so every merge round batches across genes into a single
+    device dispatch (tree.rs:166-231 hot loop, device-resident)."""
     engine = _msa_engine(aligner, aligner_options)
-    for i, gene_path in enumerate(gene_files, 1):
+
+    genes = []  # (gene_name, gene_dir, names, seqs, ss_or_None, di_map)
+    for gene_path in gene_files:
         gene_name = os.path.splitext(os.path.basename(gene_path))[0]
         gene_dir = os.path.join(gene_fasta_dir, gene_name)
         aa = fasta.read_fasta(os.path.join(gene_dir, "aa.fasta"))
@@ -66,17 +72,34 @@ def run_aligner(
         if aligner == "foldmason":
             di = fasta.read_fasta(os.path.join(gene_dir, "3di.fasta"))
             ss = [di.get(n, "X" * len(aa[n])) for n in names]
-            aligned = engine.align(names, seqs, ss)
+        else:
+            di, ss = None, None
+        genes.append((gene_name, gene_dir, names, seqs, ss, di))
+
+    if hasattr(engine, "align_many"):
+        msg.print_message(f"\rAligning genes 0/{len(gene_files)} (batched)...", 3)
+        all_aligned = engine.align_many(
+            [(names, seqs, ss) for (_, _, names, seqs, ss, _) in genes]
+        )
+    else:
+        all_aligned = [
+            engine.align(names, seqs, ss) if ss is not None else engine.align(names, seqs)
+            for (_, _, names, seqs, ss, _) in genes
+        ]
+
+    for i, ((gene_name, gene_dir, names, seqs, ss, di), aligned) in enumerate(
+        zip(genes, all_aligned), 1
+    ):
+        if aligner == "foldmason":
             msa_file = os.path.join(gene_dir, f"{gene_name}_aa.fa")
             # aligned 3Di strings (same gap structure) for parity
             di_out = {}
-            for n in names:
+            for r, n in enumerate(names):
                 s = aligned[n]
-                src = iter(di.get(n, "X" * len(aa[n])))
+                src = iter(di.get(n, "X" * len(seqs[r])))
                 di_out[n] = "".join("-" if c == "-" else next(src) for c in s)
             fasta.write_fasta(os.path.join(gene_dir, f"{gene_name}_3di.fa"), di_out)
         else:
-            aligned = engine.align(names, seqs)
             msa_file = os.path.join(gene_dir, f"{gene_name}.fa")
         fasta.write_fasta(msa_file, aligned)
         filter_msa(msa_file, os.path.join(gene_dir, f"{gene_name}.fa.filtered"), threshold)

@@ -14,26 +14,31 @@ import numpy as np
 from unicore_tpu.alphabets import encode_aa
 
 
-def kmer_distance_matrix(seqs: List[str], k: int = 6) -> np.ndarray:
-    """1 - shared-kmer fraction, computed via hashed k-mer sets."""
+def kmer_distance_matrix(seqs: List[str], k: int = 6, dim: int = 8192) -> np.ndarray:
+    """1 - shared-kmer fraction via hashed k-mer bags and ONE (N, dim) x
+    (dim, N) matmul — replaces the O(n^2) Python set intersections (the
+    guide stage only shapes merge order, so the rare hash collision is
+    immaterial and the result stays deterministic)."""
     n = len(seqs)
-    sets = []
-    for s in seqs:
-        codes = encode_aa(s).astype(np.int64)
-        if len(codes) < k:
-            sets.append(frozenset([tuple(codes)]))
+    feats = np.zeros((n, dim), dtype=np.float32)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for r, s in enumerate(seqs):
+        codes = encode_aa(s).astype(np.uint64)
+        m = len(codes) - k + 1
+        if m <= 0:
             continue
-        v = np.zeros(len(codes) - k + 1, dtype=np.int64)
+        v = np.zeros(m, dtype=np.uint64)
         for i in range(k):
-            v = v * 21 + codes[i : i + len(v)]
-        sets.append(frozenset(v.tolist()))
-    D = np.zeros((n, n))
-    for i in range(n):
-        for j in range(i + 1, n):
-            denom = min(len(sets[i]), len(sets[j])) or 1
-            shared = len(sets[i] & sets[j])
-            D[i, j] = D[j, i] = 1.0 - shared / denom
-    return D
+            v = v * np.uint64(21) + codes[i : i + m]
+        v = v * mult
+        v ^= v >> np.uint64(29)
+        feats[r, (v % np.uint64(dim)).astype(np.int64)] = 1.0
+    kbits = feats.sum(axis=1)
+    shared = feats @ feats.T
+    denom = np.maximum(np.minimum(kbits[:, None], kbits[None, :]), 1.0)
+    D = 1.0 - shared / denom
+    np.fill_diagonal(D, 0.0)
+    return np.maximum(D, 0.0)
 
 
 class GuideNode:

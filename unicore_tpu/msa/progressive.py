@@ -9,21 +9,28 @@ Modes:
     passes (linsi-flavored accuracy bump)
 
 Algorithm: hashed-kmer distances -> UPGMA guide tree -> postorder
-profile-profile semi-global NW merges (ops/nw.py).  Alignments are
-represented as (n_seqs, n_cols) int32 index matrices (-1 = gap), so
-merges are pure integer column surgery; profiles are one-hot averages.
+profile-profile semi-global NW merges.  Alignments are represented as
+(n_seqs, n_cols) int32 index matrices (-1 = gap), so merges are pure
+integer column surgery; profiles are one-hot averages.
+
+Device path: profile scores are quantized to integers (ops/nw.py QUANT)
+and the NW forward pass runs batched on the accelerator
+(ops/nw_device.py) — `align_many` schedules merge rounds ACROSS genes so
+one dispatch carries every ready merge of every gene (the tree stage's
+hot loop, tree.rs:166-231).  Integer DP makes the device path
+bit-identical to the host reference `nw_align`, including ties.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from unicore_tpu.alphabets import AA_SIZE, TDI_SIZE, encode_3di, encode_aa
 from unicore_tpu.matrices import get_3di_matrix, get_aa_matrix
 from unicore_tpu.msa.guide_tree import GuideNode, kmer_distance_matrix, upgma
-from unicore_tpu.ops.nw import nw_align, profile_scores
+from unicore_tpu.ops.nw import QUANT, nw_align, profile_scores, quantize_scores
 
 
 class _Alignment:
@@ -60,6 +67,51 @@ def _merge(aln1: _Alignment, aln2: _Alignment, path: List[Tuple[int, int]]) -> _
     return _Alignment(aln1.rows + aln2.rows, out)
 
 
+class _GeneTask:
+    """Per-gene progressive-merge schedule state for align_many."""
+
+    __slots__ = ("names", "aa_seqs", "aa_codes", "ss_codes", "nodes", "aln", "pending")
+
+    def __init__(self, names, aa_seqs, aa_codes, ss_codes, root: GuideNode):
+        self.names = names
+        self.aa_seqs = aa_seqs
+        self.aa_codes = aa_codes
+        self.ss_codes = ss_codes
+        # postorder internal nodes; each entry (node, left_id, right_id)
+        # where ids index self.aln (leaves first, then internals in order)
+        self.nodes: List[Tuple[int, int]] = []
+        self.aln: Dict[int, Optional[_Alignment]] = {}
+        self._number(root)
+        self.pending = set(range(len(self.aa_codes), len(self.aa_codes) + len(self.nodes)))
+
+    def _number(self, node: GuideNode) -> int:
+        if node.is_leaf:
+            L = len(self.aa_codes[node.idx])
+            self.aln[node.idx] = _Alignment(
+                [node.idx], np.arange(L, dtype=np.int32)[None, :]
+            )
+            return node.idx
+        li = self._number(node.left)
+        ri = self._number(node.right)
+        nid = len(self.aa_codes) + len(self.nodes)
+        self.nodes.append((li, ri))
+        self.aln[nid] = None
+        return nid
+
+    def ready(self) -> List[int]:
+        out = []
+        for nid in sorted(self.pending):
+            li, ri = self.nodes[nid - len(self.aa_codes)]
+            if self.aln[li] is not None and self.aln[ri] is not None:
+                out.append(nid)
+        return out
+
+    @property
+    def root_aln(self) -> _Alignment:
+        root_id = len(self.aa_codes) + len(self.nodes) - 1 if self.nodes else 0
+        return self.aln[root_id]
+
+
 class ProgressiveMSA:
     name = "tpu-progressive-msa"
 
@@ -82,6 +134,9 @@ class ProgressiveMSA:
             self.w_aa, self.w_3di = 1.0, 0.0
         self.saa = get_aa_matrix().astype(np.float32)
         self.s3d = get_3di_matrix().astype(np.float32)
+        # integer DP units (exactness contract with ops/nw_device.py)
+        self.go_q = int(round(QUANT * gap_open))
+        self.ge_q = int(round(QUANT * gap_extend))
 
     # ------------------------------------------------------------------
     def align(
@@ -89,37 +144,71 @@ class ProgressiveMSA:
     ) -> Dict[str, str]:
         """Returns {name: aligned AA sequence with '-' gaps} preserving
         input order."""
-        n = len(aa_seqs)
-        if n == 0:
-            return {}
-        aa_codes = [encode_aa(s).astype(np.int32) for s in aa_seqs]
-        use_ss = self.w_3di > 0 and ss_seqs is not None
-        ss_codes = [encode_3di(s).astype(np.int32) for s in ss_seqs] if use_ss else None
-
-        if n == 1:
-            return {names[0]: aa_seqs[0]}
-
-        D = kmer_distance_matrix(aa_seqs)
-        root = upgma(D)
-        aln = self._align_node(root, aa_codes, ss_codes)
-
-        for _ in range(self.refine_iters):
-            aln = self._refine(aln, aa_codes, ss_codes)
-
-        return self._emit(aln, names, aa_seqs)
+        return self.align_many([(names, aa_seqs, ss_seqs)])[0]
 
     # ------------------------------------------------------------------
-    def _align_node(
-        self, node: GuideNode, aa_codes, ss_codes
-    ) -> _Alignment:
-        if node.is_leaf:
-            L = len(aa_codes[node.idx])
-            return _Alignment([node.idx], np.arange(L, dtype=np.int32)[None, :])
-        a1 = self._align_node(node.left, aa_codes, ss_codes)
-        a2 = self._align_node(node.right, aa_codes, ss_codes)
-        return self._pairwise_merge(a1, a2, aa_codes, ss_codes)
+    def align_many(
+        self, genes: Sequence[Tuple[List[str], List[str], Optional[List[str]]]]
+    ) -> List[Dict[str, str]]:
+        """Align many genes at once: each merge ROUND batches the ready
+        merges of every gene into one device dispatch (nw_align_batch)."""
+        from unicore_tpu.ops.nw_device import nw_align_batch
+        from unicore_tpu.runtime import profiling
 
-    def _pairwise_merge(self, a1, a2, aa_codes, ss_codes) -> _Alignment:
+        t0 = __import__("time").time()
+        results: List[Optional[Dict[str, str]]] = [None] * len(genes)
+        tasks: List[Optional[_GeneTask]] = [None] * len(genes)
+        for g, (names, aa_seqs, ss_seqs) in enumerate(genes):
+            n = len(aa_seqs)
+            if n == 0:
+                results[g] = {}
+                continue
+            if n == 1:
+                results[g] = {names[0]: aa_seqs[0]}
+                continue
+            aa_codes = [encode_aa(s).astype(np.int32) for s in aa_seqs]
+            use_ss = self.w_3di > 0 and ss_seqs is not None
+            ss_codes = (
+                [encode_3di(s).astype(np.int32) for s in ss_seqs] if use_ss else None
+            )
+            D = kmer_distance_matrix(aa_seqs)
+            tasks[g] = _GeneTask(names, aa_seqs, aa_codes, ss_codes, upgma(D))
+
+        # ---- merge rounds: batch every ready merge across genes ----
+        while True:
+            batch: List[Tuple[int, int, _Alignment, _Alignment]] = []
+            for g, task in enumerate(tasks):
+                if task is None or not task.pending:
+                    continue
+                for nid in task.ready():
+                    li, ri = task.nodes[nid - len(task.aa_codes)]
+                    batch.append((g, nid, task.aln[li], task.aln[ri]))
+            if not batch:
+                break
+            S_list = [
+                self._score_matrix(a1, a2, tasks[g].aa_codes, tasks[g].ss_codes)
+                for g, _, a1, a2 in batch
+            ]
+            paths = nw_align_batch(S_list, self.go_q, self.ge_q)
+            ncells = float(sum(S.shape[0] * S.shape[1] for S in S_list))
+            profiling.add_counter("msa.cells", ncells)
+            for (g, nid, a1, a2), (path, _) in zip(batch, paths):
+                task = tasks[g]
+                task.aln[nid] = self._strip_empty(_merge(a1, a2, path))
+                task.pending.discard(nid)
+
+        for g, task in enumerate(tasks):
+            if task is None:
+                continue
+            aln = task.root_aln
+            for _ in range(self.refine_iters):
+                aln = self._refine(aln, task.aa_codes, task.ss_codes)
+            results[g] = self._emit(aln, task.names, task.aa_seqs)
+        profiling.add_counter("msa.seconds", __import__("time").time() - t0)
+        return results
+
+    # ------------------------------------------------------------------
+    def _score_matrix(self, a1, a2, aa_codes, ss_codes) -> np.ndarray:
         fa1 = _profile(a1, aa_codes, AA_SIZE)
         fa2 = _profile(a2, aa_codes, AA_SIZE)
         fs1 = fs2 = None
@@ -129,7 +218,12 @@ class ProgressiveMSA:
         S = profile_scores(
             fa1, fa2, self.saa, fs1, fs2, self.s3d, w_aa=self.w_aa, w_3di=self.w_3di
         )
-        path, _ = nw_align(S, go=self.gap_open, ge=self.gap_extend)
+        return quantize_scores(S)
+
+    def _pairwise_merge(self, a1, a2, aa_codes, ss_codes) -> _Alignment:
+        """Host-reference merge (same integer DP as the device path)."""
+        Sq = self._score_matrix(a1, a2, aa_codes, ss_codes)
+        path, _ = nw_align(Sq, go=self.go_q, ge=self.ge_q)
         merged = _merge(a1, a2, path)
         return self._strip_empty(merged)
 

@@ -28,11 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 INT_NEG = -(2 ** 28)  # sentinel with headroom: no int32 wrap after +-go/jge
+# Score matrices ship as int16 (half the host->device transfer); padded
+# cells use PAD_SCORE.  Padding correctness does not depend on the pad
+# magnitude: the valid region is a top-left prefix and all DP flows are
+# monotone (left->right, top->bottom), so padded cells never feed valid
+# ones — only the (explicitly masked) end-cell selection sees them.
+PAD_SCORE = -20000
 
 
 @functools.partial(jax.jit, static_argnames=("go", "ge"))
 def nw_forward_bits(
-    S: jnp.ndarray,    # (B, L1, L2) int32 quantized scores (pad = INT_NEG)
+    S: jnp.ndarray,    # (B, L1, L2) int16/int32 quantized scores (pad = PAD_SCORE)
     l1: jnp.ndarray,   # (B,) int32 true row counts
     l2: jnp.ndarray,   # (B,) int32 true col counts
     go: int,
@@ -46,6 +52,7 @@ def nw_forward_bits(
     the first maximum).
     """
     B, L1, L2 = S.shape
+    S = S.astype(jnp.int32)
     jge = (jnp.arange(L2 + 1, dtype=jnp.int32) * ge)[None, :]  # (1, L2+1)
     col = jnp.arange(L2 + 1, dtype=jnp.int32)[None, :]
 
@@ -175,15 +182,20 @@ def nw_align_batch(
 
     inflight = []
     for Lb, idxs in sorted(buckets.items()):
-        for s0 in range(0, len(idxs), batch_size):
-            chunk = idxs[s0 : s0 + batch_size]
-            B = batch_size if len(idxs) > batch_size else len(chunk)
-            Sp = np.full((B, Lb, Lb), INT_NEG, dtype=np.int32)
+        # cap per-dispatch score transfer at ~64 MB (int16)
+        bsz = max(1, min(batch_size, (64 << 20) // (Lb * Lb * 2)))
+        for s0 in range(0, len(idxs), bsz):
+            chunk = idxs[s0 : s0 + bsz]
+            B = bsz if len(idxs) > bsz else len(chunk)
+            Sp = np.full((B, Lb, Lb), PAD_SCORE, dtype=np.int16)
             l1 = np.ones(B, dtype=np.int32)
             l2 = np.ones(B, dtype=np.int32)
             for row, k in enumerate(chunk):
                 a, b = S_list[k].shape
-                Sp[row, :a, :b] = S_list[k]
+                Sk = S_list[k]
+                assert abs(int(Sk.max(initial=0))) < abs(PAD_SCORE) and \
+                    int(Sk.min(initial=0)) > PAD_SCORE, "score exceeds int16 budget"
+                Sp[row, :a, :b] = Sk
                 l1[row], l2[row] = a, b
             res = nw_forward_bits(
                 jnp.asarray(Sp), jnp.asarray(l1), jnp.asarray(l2), int(go), int(ge)
