@@ -87,3 +87,67 @@ def evalue(score: np.ndarray, m: float, n: float, lam: float, K: float = K_DEFAU
 
 def bitscore(score: np.ndarray, lam: float, K: float = K_DEFAULT) -> np.ndarray:
     return (lam * np.asarray(score, dtype=np.float64) - math.log(K)) / math.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Gapped (lambda, K) by direct simulation with the production kernel
+# ---------------------------------------------------------------------------
+
+_EULER = 0.5772156649015329
+
+
+def fit_gumbel(scores: np.ndarray, m: float, n: float) -> tuple:
+    """Method-of-moments Gumbel fit of local-alignment max scores.
+
+    Karlin-Altschul: S_max over an (m, n) random comparison is Gumbel
+    with scale 1/lambda and location ln(K m n)/lambda, so
+        lambda = pi / (std * sqrt(6)),   K = exp(lambda * mu) / (m n).
+    """
+    s = np.asarray(scores, dtype=np.float64)
+    std = float(s.std())
+    if std <= 0:
+        return 1e-3, K_DEFAULT
+    lam = math.pi / (std * math.sqrt(6.0))
+    mu = float(s.mean()) - _EULER / lam
+    K = math.exp(lam * mu) / (m * n)
+    return lam, K
+
+
+def _cache_path(key: str) -> str:
+    import os
+    d = os.path.join(os.path.expanduser("~"), ".cache", "unicore_tpu", "stats")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"gapped_{key}.json")
+
+
+def calibrate_gapped(
+    score_fn, key: str, B: int = 512, L: int = 128, seed: int = 17,
+) -> tuple:
+    """(lambda, K) for GAPPED alignment scores, fitted on scores of
+    random uniform-background pairs computed by the production kernel
+    itself (`score_fn(qa, qs, ta, ts, qlen, tlen) -> (B,) best`).
+
+    The reference delegates this to Foldseek's precomputed gapped
+    parameters; simulating with our own kernel calibrates the actual
+    scoring (integer units, combined 3Di+AA, windowed gaps).  Results
+    are cached on disk per (matrix, weights, gap, window) key — the
+    kernel is bit-exact across backends, so the cache is portable.
+    """
+    import json
+    import os
+
+    path = _cache_path(key)
+    if os.path.exists(path):
+        d = json.load(open(path))
+        return d["lambda"], d["K"]
+    rng = np.random.RandomState(seed)
+    qa = rng.randint(0, 20, (B, L)).astype(np.int32)
+    qs = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ta = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ts = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ln = np.full(B, L, np.int32)
+    best = np.asarray(score_fn(qa, qs, ta, ts, ln, ln), dtype=np.float64)
+    lam, K = fit_gumbel(best, L, L)
+    with open(path, "w") as f:
+        json.dump({"lambda": lam, "K": K, "B": B, "L": L, "seed": seed}, f)
+    return lam, K
