@@ -184,3 +184,36 @@ def test_search_recovers_true_topology():
     bps = set(bipartitions(unroot(best)).keys())
     assert frozenset({"a1", "a2"}) in bps
     assert frozenset({"b1", "b2"}) in bps
+
+
+def test_bootstrap_supports_not_saturated():
+    """Weak-signal splits must NOT all get 100% support: the enriched
+    RELL candidate set (random NNI walks) lets trivial splits lose
+    replicates (VERDICT round-1 weak #7)."""
+    from unicore_tpu.phylo.engine import TreeEngine
+
+    rng = np.random.RandomState(3)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    base = rng.choice(list(letters), 90)
+    msa = {}
+    for i in range(8):
+        s = base.copy()
+        # tiny, mostly-conflicting signal: a few random substitutions
+        for _ in range(6):
+            s[rng.randint(90)] = rng.choice(list(letters))
+        msa[f"t{i}"] = "".join(s)
+    eng = TreeEngine("iqtree")
+    tree, _, _ = eng.infer(msa, n_boot=200, model_str="JTT+F")
+    supports = [
+        n.support for n in _all_nodes(tree)
+        if n.children and n.support is not None
+    ]
+    assert supports, "no internal supports annotated"
+    assert min(supports) < 95.0, supports
+
+
+def _all_nodes(node):
+    out = [node]
+    for c in node.children:
+        out.extend(_all_nodes(c))
+    return out

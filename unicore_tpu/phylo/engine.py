@@ -206,34 +206,49 @@ class TreeEngine:
         return final
 
     # ------------------------------------------------------------------
-    def _bootstrap(self, engine, search, best_tree, n_boot, seed) -> Node:
+    def _bootstrap(self, engine, search, best_tree, n_boot, seed,
+                   n_walks: int = 256) -> Node:
         from unicore_tpu.phylo.likelihood import make_root_binary, tree_to_arrays
-        from unicore_tpu.phylo.search import copy_tree
+        from unicore_tpu.phylo.newick import bipartitions
+        from unicore_tpu.phylo.search import (
+            copy_tree, nni_neighbors, random_nni_walk,
+        )
 
-        # candidate set: topologies visited during search plus the final
-        # tree's NNI neighborhood (richer RELL vote set, UFBoot-style),
-        # deduplicated by bipartition sets
-        from unicore_tpu.phylo.search import nni_neighbors
-
-        cands: List[Node] = []
-        site_lls: List[np.ndarray] = []
-        seen = set()
-        visited = search.visited[-48:]  # cap
+        # Candidate set (UFBoot-style): topologies visited during search,
+        # the final tree's full NNI neighborhood, and a few hundred
+        # random NNI walks of depth 1-5 from the final tree — a diverse
+        # sample of the topology neighborhood so trivial splits can
+        # actually LOSE replicates (all-100 supports were the symptom of
+        # the old thin set).  Deduplicated by bipartition sets; scored in
+        # one vmapped batch per chunk.
+        visited = search.visited[-48:]
         rooted_best = make_root_binary(copy_tree(best_tree))
         cb, bb = tree_to_arrays(rooted_best, engine.names)
         visited = visited + [(cb, bb, 0.0)]
-        for t in nni_neighbors(rooted_best)[:48]:
+        for t in nni_neighbors(rooted_best):
             visited.append(tree_to_arrays(t, engine.names) + (0.0,))
+        rng = np.random.RandomState(seed ^ 0x5EED)
+        for w in range(n_walks):
+            t = random_nni_walk(rooted_best, rng, 1 + w % 5)
+            visited.append(tree_to_arrays(t, engine.names) + (0.0,))
+
+        cands: List[Node] = []
+        arr_c: List[np.ndarray] = []
+        arr_b: List[np.ndarray] = []
+        seen = set()
         for children, blens, _ in visited:
             t = arrays_to_tree(children, blens, engine.names)
-            from unicore_tpu.phylo.newick import bipartitions
             key = frozenset(bipartitions(t).keys())
             if key in seen:
                 continue
             seen.add(key)
             cands.append(t)
-            site_lls.append(engine.site_loglik(children, blens))
-        sl = np.stack(site_lls)
+            arr_c.append(children)
+            arr_b.append(blens)
+        if hasattr(engine, "site_loglik_batch"):
+            sl = engine.site_loglik_batch(np.stack(arr_c), np.stack(arr_b))
+        else:
+            sl = np.stack([engine.site_loglik(c, b) for c, b in zip(arr_c, arr_b)])
         msg.println_message(f"  bootstrap over {len(cands)} candidate topologies", 4)
         return rell_supports(
             best_tree, cands, sl, np.asarray(engine.weights, dtype=np.float64),

@@ -336,6 +336,31 @@ class LikelihoodEngine:
         )
         return np.asarray(fn)
 
+    def site_loglik_batch(
+        self, children_batch: np.ndarray, blens_batch: np.ndarray, chunk: int = 0,
+    ) -> np.ndarray:
+        """(B, P) per-pattern log-likelihoods for a topology batch —
+        one vmapped device program per chunk (RELL candidate scoring)."""
+        if not chunk:
+            C = int(self._mp["rates"].shape[0])
+            clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
+            chunk = max(1, min(32, int(4e9 // max(clv_bytes, 1))))
+        B = children_batch.shape[0]
+        outs = []
+        for s0 in range(0, B, chunk):
+            cb = np.asarray(children_batch[s0 : s0 + chunk])
+            bb = np.asarray(blens_batch[s0 : s0 + chunk])
+            if cb.shape[0] < chunk and B > chunk:
+                pad = chunk - cb.shape[0]
+                cb = np.concatenate([cb, np.repeat(cb[:1], pad, 0)])
+                bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
+            out = _site_loglik_batch_impl(
+                jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
+                self.tips, n_taxa=self.n, **self._mp,
+            )
+            outs.append(np.asarray(out))
+        return np.concatenate(outs)[:B]
+
     # -- branch-length optimization (adam on log-lengths) ---------------
     def optimize_blens(
         self, children: np.ndarray, blens: np.ndarray,
@@ -386,3 +411,13 @@ def _site_loglik(
     return jax.scipy.special.logsumexp(
         log_site_cat + jnp.log(props)[:, None], axis=0
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa",))
+def _site_loglik_batch_impl(
+    children_b, blens_b, tips, eigvals, U, Uinv, pi, rates, props, n_taxa
+):
+    def one(c, b):
+        return _site_loglik(c, b, tips, eigvals, U, Uinv, pi, rates, props, n_taxa)
+
+    return jax.vmap(one)(children_b, blens_b)

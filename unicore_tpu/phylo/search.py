@@ -70,6 +70,35 @@ def nni_neighbors(root: Node) -> List[Node]:
     return out
 
 
+def random_nni_walk(root: Node, rng, n_moves: int) -> Node:
+    """n random NNI moves applied IN PLACE on a copy — O(n) per move
+    (no neighbor enumeration), for cheap bulk candidate generation."""
+    t = copy_tree(root)
+
+    def internal_nodes(node: Node, out: List[Node]) -> List[Node]:
+        for c in node.children:
+            if not c.is_leaf:
+                out.append(c)
+                internal_nodes(c, out)
+        return out
+
+    for _ in range(n_moves):
+        cands = [v for v in internal_nodes(t, []) if v.parent is not None]
+        if not cands:
+            break
+        v = cands[rng.randint(len(cands))]
+        u = v.parent
+        sib_idx = 1 - u.children.index(v)
+        child_idx = rng.randint(2)
+        c = v.children[child_idx]
+        s = u.children[sib_idx]
+        v.children[child_idx] = s
+        s.parent = v
+        u.children[sib_idx] = c
+        c.parent = u
+    return t
+
+
 class TreeSearch:
     def __init__(self, engine: LikelihoodEngine, seed: int = 12345):
         self.engine = engine
