@@ -24,6 +24,79 @@ from unicore_tpu.runtime import errors as err
 from unicore_tpu.runtime import logging as msg
 
 
+# Upstream table host (afdb_lookup.rs:27: unicore.steineggerlab.workers.dev)
+AFDB_TABLE_URL = "https://unicore.steineggerlab.workers.dev"
+_ALL_SHARDS = [f"{i:02x}" for i in range(256)]
+
+
+def download_afdb_tables(
+    dest: str,
+    base_url: str = AFDB_TABLE_URL,
+    assume_yes: bool = False,
+    shards=None,
+) -> int:
+    """Download the 256 md5-sharded AFDB 3Di tables (~30 GB total).
+
+    Mirrors afdb_lookup.rs:15-64: per-shard `{base}/{shard}.tsv.gz`
+    fetched and gunzipped to `{dest}/md5/{shard}.tsv`, with a stdin y/n
+    confirmation for the 30 GB unless `assume_yes`.  Improvements over
+    the reference: RESUMABLE (shards whose final .tsv already exists are
+    skipped; partial downloads land in .part files and are atomically
+    renamed) and CHECKSUMMED (the gzip CRC32 of every shard is verified
+    by full decompression before the rename — upstream publishes no
+    separate digests).  Returns the number of shards fetched.
+    """
+    import gzip
+    import sys
+    import urllib.request
+
+    shards = list(shards) if shards is not None else _ALL_SHARDS
+    md5_dir = os.path.join(dest, "md5")
+    os.makedirs(md5_dir, exist_ok=True)
+    todo = [s for s in shards if not _shard_ok(md5_dir, s)]
+    if not todo:
+        msg.println_message("AFDB lookup tables already present; nothing to do", 3)
+        return 0
+    if not assume_yes:
+        if not sys.stdin.isatty():
+            err.error(
+                err.ERR_GENERAL,
+                "AFDB table download needs ~30 GB; re-run with --afdb-download-yes "
+                "or on an interactive terminal to confirm",
+            )
+        print(f"Download {len(todo)} AFDB table shards (~30 GB total)? [y/N] ",
+              end="", flush=True)
+        if input().strip().lower() not in ("y", "yes"):
+            err.error(err.ERR_GENERAL, "AFDB table download declined")
+
+    fetched = 0
+    for i, s in enumerate(todo):
+        final = os.path.join(md5_dir, f"{s}.tsv")
+        part = final + ".part"
+        url = f"{base_url}/{s}.tsv.gz"
+        try:
+            with urllib.request.urlopen(url) as resp:
+                blob = resp.read()
+            # full decompression validates the gzip CRC32 + length
+            data = gzip.decompress(blob)
+        except Exception as e:  # noqa: BLE001 — typed exit below
+            err.error(err.ERR_GENERAL,
+                      f"AFDB shard {s} download/verify failed: {e}")
+        with open(part, "wb") as f:
+            f.write(data)
+        os.replace(part, final)  # atomic: resume never sees half a shard
+        fetched += 1
+        msg.print_message(
+            f"\rDownloading AFDB tables... {i + 1}/{len(todo)}", 3)
+    msg.println_message(" Done", 3)
+    return fetched
+
+
+def _shard_ok(md5_dir: str, shard: str) -> bool:
+    p = os.path.join(md5_dir, f"{shard}.tsv")
+    return os.path.isfile(p) and os.path.getsize(p) > 0
+
+
 def split_by_lookup(
     fasta_data: Dict[str, str],
     lookup_path: str,
@@ -51,11 +124,16 @@ def _afdb_lookup(fasta_data, path):
     if os.path.isfile(os.path.join(path, "00.tsv")):
         md5_path = path
     if not os.path.isfile(os.path.join(md5_path, "00.tsv")):
-        err.error(
-            err.ERR_FILE_NOT_FOUND,
-            f"AFDB lookup tables not found under {path} (offline build: "
-            "download the 256 md5-sharded .tsv tables manually)",
-        )
+        if os.environ.get("UNICORE_TPU_AFDB_AUTO_DOWNLOAD"):
+            download_afdb_tables(path, assume_yes=True)
+            md5_path = os.path.join(path, "md5")
+        else:
+            err.error(
+                err.ERR_FILE_NOT_FOUND,
+                f"AFDB lookup tables not found under {path} (zero-egress "
+                "build: set UNICORE_TPU_AFDB_AUTO_DOWNLOAD=1 to fetch the "
+                "256 md5-sharded tables, ~30 GB, resumable)",
+            )
     shards: Dict[str, Dict[str, Tuple[str, str]]] = {}
     for h, seq in fasta_data.items():
         digest = hashlib.md5((seq + "\n").encode()).hexdigest()
