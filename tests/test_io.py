@@ -75,3 +75,22 @@ def test_checkpoint(tmp_path):
     chkpnt.write_checkpoint(p, "1")
     assert chkpnt.is_done(p)
     assert chkpnt.read_checkpoint(p) == "1"
+
+
+def test_write_cluster_db_reference_format(tmp_path):
+    """--keep cluster db: rep-keyed index, member-id records, NUL framing
+    readable by the reference's read_db (cluster.rs keep path)."""
+    from unicore_tpu.io.seqdb import read_db, write_cluster_db
+
+    p = str(tmp_path / "clu_cluster")
+    write_cluster_db(p, {0: [0, 2], 5: [5]})
+    # payload lines are the member ids, reference-readable
+    assert read_db(p) == ["0", "2", "5"]
+    idx = [ln.split("\t") for ln in open(p + ".index").read().splitlines()]
+    assert [e[0] for e in idx] == ["0", "5"]  # keyed by representative id
+    offs = [int(e[1]) for e in idx]
+    lens = [int(e[2]) for e in idx]
+    raw = open(p, "rb").read()
+    assert raw[offs[0]:offs[0] + lens[0]] == b"0\n2\n\x00"
+    assert raw[offs[1]:offs[1] + lens[1]] == b"5\n\x00"
+    assert open(p + ".dbtype", "rb").read()[:1] == b"\x06"

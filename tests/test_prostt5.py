@@ -91,3 +91,26 @@ def test_hf_checkpoint_loading(tmp_path, small_cfg):
     assert eng.loaded_pretrained
     out = eng.predict(["ACDEFGHIKL"])
     assert len(out[0]) == 10
+
+
+def test_long_protein_windowed_translation():
+    """Proteins beyond max_window are translated in overlapping windows
+    and stitched at overlap midpoints (the reference EXCLUDES long
+    proteins via --max-len; we keep them)."""
+    from unicore_tpu.models.prostt5 import ProstT5Engine, T5Config
+
+    eng = ProstT5Engine(cfg=T5Config.small(), seed=3, max_window=96, overlap=32)
+    rng = np.random.RandomState(0)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    seq = "".join(rng.choice(list(letters), 300))
+    short = "".join(rng.choice(list(letters), 50))
+
+    out = eng.predict([seq, short])
+    assert len(out[0]) == 300 and "X" not in out[0][:5]  # fully stitched
+    assert set(out[0]) <= set("ACDEFGHIKLMNPQRSTVWY")
+    assert len(out[1]) == 50
+    # deterministic
+    assert eng.predict([seq])[0] == out[0]
+    # short sequences are unaffected by the windowing machinery
+    eng_full = ProstT5Engine(cfg=T5Config.small(), seed=3, max_window=2048)
+    assert eng_full.predict([short])[0] == out[1]

@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 DBTYPE_AA = 0
 DBTYPE_HEADER = 12
 DBTYPE_3DI = 0  # foldseek stores 3Di as an aa-alphabet db
+DBTYPE_CLUSTER = 6  # mmseqs/foldseek clustering result db
 
 
 def _write_data(path: str, records: List[str]) -> List[tuple]:
@@ -155,6 +156,26 @@ class SeqDB:
             names.append(h)
             seqs.append(s)
         return cls(names=names, aa_seqs=seqs)
+
+
+def write_cluster_db(db_path: str, clusters: Dict[int, List[int]]) -> None:
+    """Reference-format clustering result DB (the `{out}_cluster` that
+    `foldseek cluster` leaves behind, cluster.rs:43-55 / --keep path):
+    one record per representative, keyed by the rep's internal id in the
+    .index, payload = member internal ids one per line, `\\n\\0` framing
+    readable by the reference's read_db."""
+    entries = []
+    off = 0
+    with open(db_path, "wb") as f:
+        for rep in sorted(clusters):
+            payload = ("\n".join(str(m) for m in clusters[rep])).encode() + b"\n\x00"
+            f.write(payload)
+            entries.append((rep, off, len(payload)))
+            off += len(payload)
+    with open(db_path + ".index", "w") as f:
+        for key, o, ln in entries:
+            f.write(f"{key}\t{o}\t{ln}\n")
+    _write_dbtype(db_path + ".dbtype", DBTYPE_CLUSTER)
 
 
 # ------------------------------------------------------------- db utilities

@@ -378,7 +378,15 @@ class ProstT5Engine:
         batch_tokens: int = 64 * 512,
         seed: int = 0,
         dtype=jnp.bfloat16,
+        max_window: int = 2048,
+        overlap: int = 256,
     ):
+        # very long proteins are translated in overlapping windows and
+        # stitched at overlap midpoints (attention memory is O(L^2); the
+        # reference handles long inputs by EXCLUDING them via --max-len,
+        # createdb.rs:93-95 — windowing keeps them)
+        self.max_window = max_window
+        self.overlap = overlap
         self.cfg = cfg or T5Config()
         self.params = None
         self.loaded_pretrained = False
@@ -416,8 +424,48 @@ class ProstT5Engine:
         return self._dp
 
     def predict(self, sequences: List[str]) -> List[str]:
-        """AA->3Di. Encoder input per sequence is
-        ``[<AA2fold>, residues..., </s>]`` (ProstT5's AA->fold direction);
+        """AA->3Di with overlap-window stitching for very long inputs.
+
+        Sequences up to `max_window` go through one framed forward pass;
+        longer ones are split into `max_window`-wide windows overlapping
+        by `overlap`, each translated independently, and the 3Di string
+        is stitched with ownership switching at overlap midpoints
+        (deterministic; windows see `overlap/2` residues of flanking
+        context at every owned position)."""
+        W, V = self.max_window, self.overlap
+        pieces: List[tuple] = []  # (orig_idx, start, aa_piece)
+        for idx, s in enumerate(sequences):
+            if len(s) <= W:
+                pieces.append((idx, 0, s))
+                continue
+            step = W - V
+            starts = list(range(0, max(len(s) - W, 0) + 1, step))
+            if starts[-1] + W < len(s):
+                starts.append(len(s) - W)
+            for st in starts:
+                pieces.append((idx, st, s[st : st + W]))
+        piece_3di = self._predict_units([p[2] for p in pieces])
+
+        out: List[Optional[str]] = [None] * len(sequences)
+        chars: Dict[int, list] = {}
+        bounds: Dict[int, int] = {}  # orig_idx -> end of previously owned region
+        for (idx, st, aa_piece), di in zip(pieces, piece_3di):
+            if len(sequences[idx]) <= W:
+                out[idx] = di
+                continue
+            buf = chars.setdefault(idx, ["X"] * len(sequences[idx]))
+            own_from = bounds.get(idx, 0)          # midpoint handoff
+            own_to = st + len(aa_piece)
+            for pos in range(max(own_from, st), own_to):
+                buf[pos] = di[pos - st]
+            bounds[idx] = st + len(aa_piece) - V // 2
+        for idx, buf in chars.items():
+            out[idx] = "".join(buf)
+        return out  # type: ignore[return-value]
+
+    def _predict_units(self, sequences: List[str]) -> List[str]:
+        """Single-window batched forward (each unit framed
+        ``[<AA2fold>, residues..., </s>]``, ProstT5's AA->fold direction);
         3Di letters are read back at the residue positions."""
         tdi = np.frombuffer(TDI_ALPHABET.encode(), dtype=np.uint8)
         out: List[Optional[str]] = [None] * len(sequences)

@@ -93,9 +93,9 @@ def run(args) -> None:
     write_cluster_tsv(output + ".tsv", clusters, db.names)
 
     if keep:
-        # persist the intermediate cluster db (internal-id member lists)
-        with open(output + "_cluster", "w") as f:
-            for rep in sorted(clusters):
-                f.write("\0".join(str(m) for m in clusters[rep]) + "\n")
+        # persist the intermediate cluster db in the reference's format
+        # (rep-keyed index, member ids per record; io/seqdb.py)
+        from unicore_tpu.io.seqdb import write_cluster_db
+        write_cluster_db(output + "_cluster", clusters)
 
     chkpnt.write_checkpoint(os.path.join(parent, "cluster.chk"), "1")
