@@ -217,3 +217,67 @@ def _all_nodes(node):
     for c in node.children:
         out.extend(_all_nodes(c))
     return out
+
+
+def test_incremental_nni_matches_full_eval():
+    """loglik_nni_moves (partial-CLV chains, stable ids) == full
+    re-evaluation of the canonicalized swapped tree, for EVERY move."""
+    from unicore_tpu.phylo.likelihood import arrays_to_tree, tree_to_arrays
+    from unicore_tpu.phylo.search import apply_nni_move, nni_moves_arrays
+
+    rng = np.random.RandomState(8)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    names = [f"t{i}" for i in range(10)]
+    base = rng.choice(list(letters), 60)
+    seqs = []
+    for _ in names:
+        s = base.copy()
+        for _ in range(8):
+            s[rng.randint(60)] = rng.choice(list(letters))
+        seqs.append("".join(s))
+    spec = ModelSpec.parse("JTT+F+G")
+    codes = msa_to_codes(names, seqs)
+    model = SubstModel.build(spec, empirical_freqs=empirical_frequencies(codes), alpha=0.8)
+    eng = LikelihoodEngine(names, seqs, model)
+
+    from unicore_tpu.phylo.nj import neighbor_joining, protein_distances
+    from unicore_tpu.phylo.likelihood import make_root_binary
+    t = make_root_binary(neighbor_joining(protein_distances(names, seqs), names))
+    children, blens = tree_to_arrays(t, names)
+    blens = np.maximum(blens, 0.02)
+
+    moves = nni_moves_arrays(children, eng.n)
+    assert len(moves) == 2 * (eng.n - 2)  # 2 per internal non-root node
+    inc = eng.loglik_nni_moves(children, blens, moves)
+    for m, ll_inc in zip(moves, inc):
+        cand = apply_nni_move(children, m)
+        # canonicalize (renumber) and evaluate with the full pass
+        t2 = arrays_to_tree(cand, blens, names)
+        c2, b2 = tree_to_arrays(t2, names)
+        ll_full = eng.loglik(c2, b2)
+        assert abs(ll_inc - ll_full) < 0.05, (m, ll_inc, ll_full)
+
+
+def test_search_uses_incremental_path_large_tree():
+    """optimize() switches to the chain evaluator at >=48 taxa and still
+    improves the likelihood."""
+    rng = np.random.RandomState(21)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    names = [f"t{i}" for i in range(48)]
+    base = rng.choice(list(letters), 50)
+    seqs = []
+    for _ in names:
+        s = base.copy()
+        for _ in range(5):
+            s[rng.randint(50)] = rng.choice(list(letters))
+        seqs.append("".join(s))
+    spec = ModelSpec.parse("JTT+F")
+    codes = msa_to_codes(names, seqs)
+    model = SubstModel.build(spec, empirical_freqs=empirical_frequencies(codes))
+    eng = LikelihoodEngine(names, seqs, model)
+    from unicore_tpu.phylo.nj import neighbor_joining, protein_distances
+    start = neighbor_joining(protein_distances(names, seqs), names)
+    search = TreeSearch(eng)
+    best, ll = search.optimize(start, max_rounds=2, blen_steps=40)
+    assert np.isfinite(ll)
+    assert sorted(l.name for l in best.leaves()) == sorted(names)

@@ -361,6 +361,97 @@ class LikelihoodEngine:
             outs.append(np.asarray(out))
         return np.concatenate(outs)[:B]
 
+    # -- incremental NNI evaluation (partial-CLV reuse) ------------------
+    def loglik_nni_moves(
+        self, children: np.ndarray, blens: np.ndarray,
+        moves, chunk: int = 0,
+    ) -> np.ndarray:
+        """Log-likelihood of every NNI move (v, u, child_idx, sib_idx)
+        applied to the base tree, recomputing only each move's
+        O(depth) changed-CLV chain against a cached base-CLV pass.
+
+        Node ids stay FIXED under the swap (no postorder renumbering):
+        the chain evaluator only needs dependency order within the
+        chain, and every untouched subtree's base CLV remains valid.
+        """
+        n = self.n
+        base_buf, base_ls = _clv_cache_impl(
+            jnp.asarray(children), jnp.asarray(blens, jnp.float32), self.tips,
+            self._mp["eigvals"], self._mp["U"], self._mp["Uinv"],
+            self._mp["rates"], n_taxa=n,
+        )
+        parent = np.zeros(2 * n - 1, dtype=np.int64)
+        for k in range(n - 1):
+            parent[children[k, 0]] = k + n
+            parent[children[k, 1]] = k + n
+        root = 2 * n - 2
+
+        B = len(moves)
+        chains = []
+        for (v, u, child_idx, sib_idx) in moves:
+            # swapped children rows for v and u
+            c = int(children[v - n, child_idx])
+            s = int(children[u - n, sib_idx])
+            v_kids = list(children[v - n])
+            v_kids[child_idx] = s
+            u_kids = list(children[u - n])
+            u_kids[sib_idx] = c
+            # chain: v, u, then ancestors of u up to the root
+            nodes = [v, u]
+            a = u
+            while a != root:
+                a = int(parent[a])
+                nodes.append(a)
+            pos = {k: t for t, k in enumerate(nodes)}
+            steps = []
+            for t, k in enumerate(nodes):
+                if k == v:
+                    kids = v_kids
+                elif k == u:
+                    kids = u_kids
+                else:
+                    kids = list(children[k - n])
+                l, r = int(kids[0]), int(kids[1])
+                steps.append((
+                    l, r, float(blens[l]), float(blens[r]),
+                    pos.get(l, -1), pos.get(r, -1),
+                ))
+            chains.append(steps)
+
+        D = max(len(c) for c in chains)
+        arr = np.zeros((6, B, D), dtype=np.float64)
+        for b, steps in enumerate(chains):
+            while len(steps) < D:
+                steps.append(steps[-1])  # repeat root step (idempotent)
+            for t, st in enumerate(steps):
+                for f in range(6):
+                    arr[f, b, t] = st[f]
+        cl = arr[0].astype(np.int32)
+        cr = arr[1].astype(np.int32)
+        lb = arr[2].astype(np.float32)
+        rb = arr[3].astype(np.float32)
+        lsrc = arr[4].astype(np.int32)
+        rsrc = arr[5].astype(np.int32)
+
+        if not chunk:
+            C = int(self._mp["rates"].shape[0])
+            per = D * C * int(self.patterns.shape[1]) * 20 * 4
+            chunk = max(1, min(64, int(3e9 // max(per, 1))))
+        outs = []
+        for s0 in range(0, B, chunk):
+            sl = slice(s0, s0 + chunk)
+            pads = 0
+            csl = [cl[sl], cr[sl], lb[sl], rb[sl], lsrc[sl], rsrc[sl]]
+            if csl[0].shape[0] < chunk and B > chunk:
+                pads = chunk - csl[0].shape[0]
+                csl = [np.concatenate([x, np.repeat(x[:1], pads, 0)]) for x in csl]
+            out = _loglik_incremental_impl(
+                *[jnp.asarray(x) for x in csl],
+                base_buf, base_ls, self.w, n_taxa=n, **self._mp,
+            )
+            outs.append(np.asarray(out))
+        return np.concatenate(outs)[:B]
+
     # -- branch-length optimization (adam on log-lengths) ---------------
     def optimize_blens(
         self, children: np.ndarray, blens: np.ndarray,
@@ -411,6 +502,91 @@ def _site_loglik(
     return jax.scipy.special.logsumexp(
         log_site_cat + jnp.log(props)[:, None], axis=0
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental NNI evaluation: base-tree CLV cache + per-candidate chains
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_taxa",))
+def _clv_cache_impl(children, blens, tips, eigvals, U, Uinv, rates, n_taxa):
+    """Full postorder CLV pass returning (buf, logscale) for reuse."""
+    n = n_taxa
+    C = rates.shape[0]
+    P = tips.shape[1]
+    rt = blens[:, None] * rates[None, :]
+    expl = jnp.exp(rt[:, :, None] * eigvals[None, None, :])
+    Pmats = jnp.einsum("ij,ecj,jk->ecik", U, expl, Uinv)
+    Pmats = jnp.clip(Pmats, 1e-12, None)
+    buf = jnp.zeros((2 * n - 1, C, P, 20), tips.dtype)
+    buf = buf.at[:n].set(tips[:, None, :, :])
+    logscale = jnp.zeros((2 * n - 1, C, P), tips.dtype)
+
+    def body(carry, idx):
+        buf, logscale = carry
+        i = idx + n
+        l = children[idx, 0]
+        r = children[idx, 1]
+        ml = jnp.einsum("cpk,cjk->cpj", buf[l], Pmats[l])
+        mr = jnp.einsum("cpk,cjk->cpj", buf[r], Pmats[r])
+        clv = ml * mr
+        m = jnp.maximum(jnp.max(clv, axis=-1, keepdims=True), 1e-30)
+        buf = buf.at[i].set(clv / m)
+        logscale = logscale.at[i].set(logscale[l] + logscale[r] + jnp.log(m[..., 0]))
+        return (buf, logscale), None
+
+    (buf, logscale), _ = jax.lax.scan(body, (buf, logscale), jnp.arange(n - 1))
+    return buf, logscale
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa",))
+def _loglik_incremental_impl(
+    chain_l, chain_r, chain_lb, chain_rb, chain_lsrc, chain_rsrc,  # (B, D)
+    base_buf, base_logscale,  # (2n-1, C, P, 20), (2n-1, C, P)
+    weights, eigvals, U, Uinv, pi, rates, props, n_taxa,
+):
+    """Log-likelihood of B NNI candidates by recomputing ONLY each
+    candidate's changed-node chain (the edited edge's two nodes plus
+    their ancestors), reading every untouched CLV from the base cache.
+    O(depth) CLV updates per candidate instead of O(n)."""
+    C = rates.shape[0]
+    P = base_buf.shape[2]
+    D = chain_l.shape[1]
+
+    def pmat(blen):
+        expl = jnp.exp(blen * rates[:, None] * eigvals[None, :])  # (C, 20)
+        M = jnp.einsum("ij,cj,jk->cik", U, expl, Uinv)
+        return jnp.clip(M, 1e-12, None)
+
+    def one(ls_, rs_, lb_, rb_, lsrc_, rsrc_):
+        cbuf = jnp.zeros((D, C, P, 20), base_buf.dtype)
+        cls = jnp.zeros((D, C, P), base_buf.dtype)
+
+        def step(carry, t):
+            cbuf, cls = carry
+            l, r = ls_[t], rs_[t]
+            lsrc, rsrc = lsrc_[t], rsrc_[t]
+            clv_l = jnp.where(lsrc >= 0, cbuf[jnp.maximum(lsrc, 0)], base_buf[l])
+            sc_l = jnp.where(lsrc >= 0, cls[jnp.maximum(lsrc, 0)], base_logscale[l])
+            clv_r = jnp.where(rsrc >= 0, cbuf[jnp.maximum(rsrc, 0)], base_buf[r])
+            sc_r = jnp.where(rsrc >= 0, cls[jnp.maximum(rsrc, 0)], base_logscale[r])
+            ml = jnp.einsum("cpk,cjk->cpj", clv_l, pmat(lb_[t]))
+            mr = jnp.einsum("cpk,cjk->cpj", clv_r, pmat(rb_[t]))
+            clv = ml * mr
+            m = jnp.maximum(jnp.max(clv, axis=-1, keepdims=True), 1e-30)
+            cbuf = cbuf.at[t].set(clv / m)
+            cls = cls.at[t].set(sc_l + sc_r + jnp.log(m[..., 0]))
+            return (cbuf, cls), None
+
+        (cbuf, cls), _ = jax.lax.scan(step, (cbuf, cls), jnp.arange(D))
+        site_cat = jnp.einsum("cpk,k->cp", cbuf[D - 1], pi)
+        log_site_cat = jnp.log(jnp.clip(site_cat, 1e-30, None)) + cls[D - 1]
+        log_site = jax.scipy.special.logsumexp(
+            log_site_cat + jnp.log(props)[:, None], axis=0
+        )
+        return jnp.sum(log_site * weights)
+
+    return jax.vmap(one)(chain_l, chain_r, chain_lb, chain_rb, chain_lsrc, chain_rsrc)
 
 
 @functools.partial(jax.jit, static_argnames=("n_taxa",))

@@ -70,6 +70,38 @@ def nni_neighbors(root: Node) -> List[Node]:
     return out
 
 
+def nni_moves_arrays(children: np.ndarray, n: int):
+    """Enumerate NNI moves directly on the array encoding with STABLE
+    node ids: (v, u, child_idx, sib_idx) swaps children[v][child_idx]
+    with children[u][sib_idx] where u = parent(v).  Same move set as
+    nni_neighbors, but consumable by the incremental evaluator
+    (LikelihoodEngine.loglik_nni_moves) without renumbering."""
+    parent = np.zeros(2 * n - 1, dtype=np.int64)
+    for k in range(n - 1):
+        parent[children[k, 0]] = k + n
+        parent[children[k, 1]] = k + n
+    moves = []
+    for v in range(n, 2 * n - 2):  # internal, non-root
+        u = int(parent[v])
+        sib_idx = 0 if int(children[u - n, 1]) == v else 1
+        for child_idx in (0, 1):
+            moves.append((v, u, child_idx, sib_idx))
+    return moves
+
+
+def apply_nni_move(children: np.ndarray, move) -> np.ndarray:
+    """Apply a move from nni_moves_arrays; ids unchanged (the result may
+    violate the children<parent postorder convention — canonicalize via
+    arrays_to_tree -> tree_to_arrays before feeding global evaluators)."""
+    v, u, child_idx, sib_idx = move
+    n = children.shape[0] + 1
+    out = children.copy()
+    c = out[v - n, child_idx]
+    out[v - n, child_idx] = out[u - n, sib_idx]
+    out[u - n, sib_idx] = c
+    return out
+
+
 def random_nni_walk(root: Node, rng, n_moves: int) -> Node:
     """n random NNI moves applied IN PLACE on a copy — O(n) per move
     (no neighbor enumeration), for cheap bulk candidate generation."""
@@ -122,23 +154,47 @@ class TreeSearch:
             self.visited.append((children.copy(), blens.copy(), ll))
         msg.println_message(f"  start lnL = {ll:.4f}", 4)
 
+        # Incremental (partial-CLV) candidate evaluation pays off once
+        # the tree is large: full re-evaluation is O(n) CLV updates per
+        # candidate x ~2n candidates = O(n^2) per round; the chain path
+        # is O(depth) per candidate.  Small trees keep the simpler
+        # full-batch path (also the reference implementation the
+        # incremental path is tested against).
+        use_inc = hasattr(eng, "loglik_nni_moves") and eng.n >= 48
+
         for rnd in range(max_rounds):
-            root = arrays_to_tree(children, blens, eng.names)
-            cands = nni_neighbors(root)
-            if not cands:
-                break
-            arr = [tree_to_arrays(c, eng.names) for c in cands]
-            cb = np.stack([a[0] for a in arr])
-            bb = np.stack([a[1] for a in arr])
-            # pad the candidate batch to a stable size so the vmapped
-            # evaluation compiles once per tree size, not once per round
-            n_real = cb.shape[0]
-            pad_to = -(-n_real // 32) * 32
-            if pad_to > n_real:
-                cb = np.concatenate([cb, np.repeat(cb[:1], pad_to - n_real, 0)])
-                bb = np.concatenate([bb, np.repeat(bb[:1], pad_to - n_real, 0)])
-            lls = eng.loglik_batch(cb, bb)[:n_real]
-            best = int(np.argmax(lls))
+            if use_inc:
+                moves = nni_moves_arrays(children, eng.n)
+                if not moves:
+                    break
+                lls = eng.loglik_nni_moves(children, blens, moves)
+                best = int(np.argmax(lls))
+                # canonicalize the winning move's arrays (renumber to
+                # postorder) for the global evaluators
+                cand_children = apply_nni_move(children, moves[best])
+                t = arrays_to_tree(cand_children, blens, eng.names)
+                cbest, bbest = tree_to_arrays(t, eng.names)
+                cb = np.asarray(cbest)[None]
+                bb = np.asarray(bbest)[None]
+                lls = np.asarray([lls[best]])
+                best = 0
+            else:
+                root = arrays_to_tree(children, blens, eng.names)
+                cands = nni_neighbors(root)
+                if not cands:
+                    break
+                arr = [tree_to_arrays(c, eng.names) for c in cands]
+                cb = np.stack([a[0] for a in arr])
+                bb = np.stack([a[1] for a in arr])
+                # pad the candidate batch to a stable size so the vmapped
+                # evaluation compiles once per tree size, not once per round
+                n_real = cb.shape[0]
+                pad_to = -(-n_real // 32) * 32
+                if pad_to > n_real:
+                    cb = np.concatenate([cb, np.repeat(cb[:1], pad_to - n_real, 0)])
+                    bb = np.concatenate([bb, np.repeat(bb[:1], pad_to - n_real, 0)])
+                lls = eng.loglik_batch(cb, bb)[:n_real]
+                best = int(np.argmax(lls))
             if lls[best] <= ll + 1e-4:
                 # no strictly-better neighbor under fixed branch lengths;
                 # re-optimize the best candidate's lengths before giving up
