@@ -54,3 +54,29 @@ def test_noninteractive_requires_consent(tmp_path, table_host):
     with pytest.raises(UnicoreError):
         download_afdb_tables(str(tmp_path / "t"), base_url=table_host,
                              assume_yes=False, shards=["00"])
+
+
+def test_prostt5_downloader_resume_and_size_check(tmp_path):
+    """ProstT5 weight fetcher (foldseek `databases ProstT5` analog):
+    per-file resume + no partial files on failure."""
+    from unicore_tpu.models.fetch import download_prostt5, maybe_download_prostt5
+
+    host = tmp_path / "host"
+    host.mkdir()
+    (host / "config.json").write_text('{"d_model": 1024}')
+    (host / "spiece.model").write_bytes(b"\x00sp")
+    dest = str(tmp_path / "model")
+    n = download_prostt5(dest, base_url=f"file://{host}",
+                         files=["config.json", "spiece.model"])
+    assert n == 2
+    n2 = download_prostt5(dest, base_url=f"file://{host}",
+                          files=["config.json", "spiece.model"])
+    assert n2 == 0  # resume: everything present
+
+    # missing remote file -> typed error, no .part litter
+    with pytest.raises(UnicoreError):
+        download_prostt5(dest, base_url=f"file://{host}", files=["nope.bin"])
+    assert not any(f.endswith(".part") for f in os.listdir(dest))
+
+    # gate: no env var -> no-op
+    assert maybe_download_prostt5(dest) is False

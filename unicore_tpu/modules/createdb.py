@@ -49,6 +49,11 @@ def get_predictor(model: str):
     if model == "mock" or os.environ.get("UNICORE_TPU_MOCK_PROSTT5") == "1":
         from unicore_tpu.models.mock import MockProstT5
         return MockProstT5()
+    if model not in ("random",) and os.path.isdir(model):
+        # createdb.rs:148-155 analog: fetch weights into the model dir
+        # when absent (gated; no-op on zero-egress builds)
+        from unicore_tpu.models.fetch import maybe_download_prostt5
+        maybe_download_prostt5(model)
     from unicore_tpu.runtime import registry
     factory = registry.get("prostt5")
     if factory is None:
