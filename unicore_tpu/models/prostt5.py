@@ -220,6 +220,12 @@ def _load_hf_tensors(model_dir: str) -> Optional[Dict[str, np.ndarray]]:
         import torch
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         return {k: v.float().numpy() for k, v in sd.items()}
+    # foldseek's weight artifact (createdb.rs:148: prostt5-f16.gguf)
+    from unicore_tpu.models.gguf import find_gguf, gguf_to_hf_tensors, read_gguf
+    gg = find_gguf(model_dir)
+    if gg is not None:
+        _, tensors = read_gguf(gg)
+        return gguf_to_hf_tensors(tensors)
     return None
 
 

@@ -169,10 +169,24 @@ def _try_spiece(model_dir: str) -> Optional[ProstT5Vocab]:
     return None
 
 
+def _try_gguf(model_dir: str) -> Optional[ProstT5Vocab]:
+    """foldseek's prostt5-f16.gguf embeds the tokenizer in its metadata."""
+    from unicore_tpu.models.gguf import find_gguf, read_gguf, vocab_from_gguf
+
+    path = find_gguf(model_dir)
+    if path is None:
+        return None
+    try:
+        meta, _ = read_gguf(path)
+    except Exception:  # noqa: BLE001 — fall through to other probes
+        return None
+    return vocab_from_gguf(meta)
+
+
 def load_vocab(model_dir: Optional[str]) -> ProstT5Vocab:
     """Resolve the checkpoint's vocabulary mapping (file-driven when possible)."""
     if model_dir and os.path.isdir(model_dir):
-        for probe in (_try_tokenizer_json, _try_added_tokens_json, _try_spiece):
+        for probe in (_try_tokenizer_json, _try_added_tokens_json, _try_spiece, _try_gguf):
             v = probe(model_dir)
             if v is not None:
                 return v
