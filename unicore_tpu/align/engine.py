@@ -66,6 +66,14 @@ class AlignParams:
     # coverage gate; exactness vs full Gotoh is asserted on every tested
     # distribution (tests/test_sw.py).  0 = unbounded (full scan).
     gap_window: int = 64
+    # pairs longer than this run BANDED SW (ops/banded.py): a host k-mer
+    # diagonal vote seeds a width-`band_width` band, making long pairs
+    # O(L*W) instead of O(L^2) — the foldseek k-mer-diagonal -> banded
+    # alignment design (cluster.rs:43-55 contract).  Exact whenever the
+    # optimum stays inside the band; the same banded code runs on both
+    # backends (byte-identity contract, like gap_window).
+    long_threshold: int = 1024
+    band_width: int = 256
 
     @classmethod
     def from_options(cls, options: str) -> "AlignParams":
@@ -99,6 +107,10 @@ class AlignParams:
                 p.min_ungapped_score = round(float(val()) * 2.8571)
             elif t == "--max-seqs":
                 p.max_seqs = int(val())
+            elif t == "--band-width":
+                p.band_width = int(val())
+            elif t == "--long-threshold":
+                p.long_threshold = int(val())
             elif t == "-s":
                 p.sens = float(val())
             elif t in ("--threads", "-v"):
@@ -258,8 +270,13 @@ class AlignmentEngine:
         from unicore_tpu.runtime import profiling
         t0 = __import__("time").time()
         buckets: Dict[Tuple[int, int], List[tuple]] = {}
+        long_entries: List[tuple] = []
         for e in entries:
-            b = _bucket(max(len(e[1]), len(e[3])))
+            n = max(len(e[1]), len(e[3]))
+            if p.long_threshold and n > p.long_threshold:
+                long_entries.append(e)
+                continue
+            b = _bucket(n)
             buckets.setdefault((b, b), []).append(e)
         inflight = []
         for (LQ, LT), items in sorted(buckets.items()):
@@ -286,11 +303,79 @@ class AlignmentEngine:
                 )
                 profiling.add_counter(f"{counter}.cells", float(B) * LQ * LT)
         out: Dict[int, Tuple[float, int, int]] = {}
+        if long_entries:
+            out.update(self._banded_pass(long_entries, ungapped=ungapped, counter=counter))
         for chunk, (b, qe, te) in inflight:
             b, qe, te = np.asarray(b), np.asarray(qe), np.asarray(te)
             for row, e in enumerate(chunk):
                 out[e[0]] = (float(b[row]), int(qe[row]), int(te[row]))
         profiling.add_counter(f"{counter}.seconds", __import__("time").time() - t0)
+        return out
+
+    # ------------------------------------------------------------------
+    def _banded_pass(
+        self, entries: List[tuple], ungapped: bool = False,
+        counter: str = "align",
+    ) -> Dict[int, Tuple[float, int, int]]:
+        """Banded SW for long pairs (ops/banded.py).
+
+        Host k-mer diagonal vote -> width-W band around the seed diagonal
+        -> device band scan, O(Lq*W) per pair.  Pairs with zero k-mer
+        matches score 0 (nothing a 6-mer-free pair could contribute past
+        the gates).  Same dispatch-then-collect overlap as _sw_pass."""
+        import jax.numpy as jnp
+        from unicore_tpu.ops.banded import sw_forward_banded, vote_diagonal
+        from unicore_tpu.runtime import profiling
+
+        p = self.params
+        out: Dict[int, Tuple[float, int, int]] = {}
+        buckets: Dict[Tuple[int, int, int], List[tuple]] = {}
+        for key, eqa, eqs, eta, ets in entries:
+            d0 = vote_diagonal(eqa, eqs, eta, ets)
+            if d0 is None:
+                out[key] = (0.0, 0, 0)
+                continue
+            LQ = _bucket(len(eqa))
+            LT = _bucket(len(eta))
+            W = max(p.band_width, _round_up(abs(len(eqa) - len(eta)) + 128, 128))
+            W = min(W, LT)  # a band wider than the target is the full matrix
+            buckets.setdefault((LQ, LT, W), []).append((key, eqa, eqs, eta, ets, d0))
+        inflight = []
+        for (LQ, LT, W), items in sorted(buckets.items()):
+            # (B, LQ, W) f32 band tensor is the memory driver: cap ~128 MB
+            bsz = min(p.batch_size, max(8, (128 * 2**20) // (LQ * W * 4)))
+            for s0 in range(0, len(items), bsz):
+                chunk = items[s0 : s0 + bsz]
+                B = bsz if len(items) > bsz else _round_up(len(chunk), 8)
+                qa = np.full((B, LQ), 20, dtype=np.int32)
+                qs = np.full((B, LQ), 20, dtype=np.int32)
+                ta = np.full((B, LT), 20, dtype=np.int32)
+                ts = np.full((B, LT), 20, dtype=np.int32)
+                ql = np.ones(B, dtype=np.int32)
+                tl = np.ones(B, dtype=np.int32)
+                d0 = np.zeros(B, dtype=np.int32)
+                for row, (_, eqa, eqs, eta, ets, ed) in enumerate(chunk):
+                    ql[row] = len(eqa)
+                    tl[row] = len(eta)
+                    qa[row, : ql[row]] = eqa
+                    qs[row, : ql[row]] = eqs
+                    ta[row, : tl[row]] = eta
+                    ts[row, : tl[row]] = ets
+                    d0[row] = ed
+                res = sw_forward_banded(
+                    jnp.asarray(qa), jnp.asarray(qs), jnp.asarray(ta), jnp.asarray(ts),
+                    jnp.asarray(ql), jnp.asarray(tl), jnp.asarray(d0),
+                    jnp.asarray(self.saa), jnp.asarray(self.s3d),
+                    W=W, go=p.gap_open, ge=p.gap_extend,
+                    w_aa=p.w_aa, w_3di=p.w_3di,
+                    gap_window=p.gap_window, ungapped=ungapped,
+                )
+                inflight.append((chunk, res))
+                profiling.add_counter(f"{counter}.cells", float(B) * LQ * W)
+        for chunk, (b, qe, te) in inflight:
+            b, qe, te = np.asarray(b), np.asarray(qe), np.asarray(te)
+            for row, e in enumerate(chunk):
+                out[e[0]] = (float(b[row]), int(qe[row]), int(te[row]))
         return out
 
     # ------------------------------------------------------------------
@@ -432,11 +517,28 @@ class AlignmentEngine:
             qs = q_ss[h.qidx][h.qstart : h.qend + 1]
             ta = t_aa[h.tidx][h.tstart : h.tend + 1]
             ts = t_ss[h.tidx][h.tstart : h.tend + 1]
-            s = (
-                p.w_aa * self.saa[qa[:, None], ta[None, :]]
-                + p.w_3di * self.s3d[qs[:, None], ts[None, :]]
-            ).astype(np.float64)
-            _, _, _, _, _, q_arr, t_arr = sw_traceback_ref(s, p.gap_open, p.gap_extend)
+            if p.long_threshold and max(len(qa), len(ta)) > p.long_threshold:
+                # long window: banded traceback (O(L*W) instead of the
+                # O(L^2) full DP matrices, which would be ~0.5 GB at 4k)
+                from unicore_tpu.ops.banded import (
+                    band_scores_ref, sw_traceback_banded_ref, vote_diagonal,
+                )
+                d0 = vote_diagonal(qa, qs, ta, ts)
+                if d0 is None:
+                    h.alnlen = max(h.qend - h.qstart, h.tend - h.tstart) + 1
+                    continue
+                W = max(p.band_width,
+                        ((abs(len(qa) - len(ta)) + 255) // 128) * 128)
+                sb, _ = band_scores_ref(qa, qs, ta, ts, d0, W,
+                                        self.saa, self.s3d, p.w_aa, p.w_3di)
+                _, q_arr, t_arr = sw_traceback_banded_ref(
+                    sb, d0, p.gap_open, p.gap_extend)
+            else:
+                s = (
+                    p.w_aa * self.saa[qa[:, None], ta[None, :]]
+                    + p.w_3di * self.s3d[qs[:, None], ts[None, :]]
+                ).astype(np.float64)
+                _, _, _, _, _, q_arr, t_arr = sw_traceback_ref(s, p.gap_open, p.gap_extend)
             if len(q_arr) == 0:
                 h.alnlen = max(h.qend - h.qstart, h.tend - h.tstart) + 1
                 continue
