@@ -28,7 +28,12 @@ def synth_db(n_seqs: int, members: int = 10, seed: int = 13):
     names, aa, ss, fam_of = [], [], [], []
     fam = 0
     while len(names) < n_seqs:
-        L = int(rng.randint(80, 350))
+        # ~2% long families (1.2k-3k residues) exercise the banded SW
+        # path (ops/banded.py) at scale; the rest are typical lengths
+        if rng.rand() < 0.02:
+            L = int(rng.randint(1200, 3000))
+        else:
+            L = int(rng.randint(80, 350))
         base_aa = rng.choice(AA, L)
         base_ss = rng.choice(TDI, L)
         for m in range(members):
