@@ -52,8 +52,21 @@ def canopy_assign(
     for c0 in range(0, N, chunk):
         idxs = order[c0 : c0 + chunk]
         if reps:
-            R = np.stack(rep_feats)  # (R, dim)
-            shared = np.asarray(jnp.dot(jnp.asarray(feats[idxs]), jnp.asarray(R.T)))
+            # pad the rep axis to a power of two (and the chunk to its
+            # full size): the rep count grows every chunk, and an
+            # unpadded matmul would be a NEW XLA shape -> a fresh
+            # (remote) compile per chunk.  Zero columns share nothing
+            # and are sliced off.
+            nrep = len(reps)
+            rpad = 512
+            while rpad < nrep:
+                rpad *= 2
+            R = np.zeros((rpad, feats.shape[1]), np.float32)
+            R[:nrep] = np.stack(rep_feats)
+            F = np.zeros((chunk, feats.shape[1]), np.float32)
+            F[: len(idxs)] = feats[idxs]
+            shared = np.asarray(jnp.dot(jnp.asarray(F), jnp.asarray(R.T)))
+            shared = shared[: len(idxs), :nrep]
             expected = kbits[idxs][:, None] * kbits[reps][None, :] / dim
             excess = shared - expected - 3.0 * np.sqrt(expected + 1.0)
             # length-ratio bound implied by bidirectional coverage
