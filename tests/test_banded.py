@@ -121,6 +121,33 @@ def test_banded_traceback_matches_full():
     np.testing.assert_array_equal(ft, bt)
 
 
+def test_banded_sharded_matches_single():
+    import jax
+    from unicore_tpu.ops.banded import sw_forward_banded_sharded
+
+    saa = get_aa_matrix().astype(np.float32)
+    s3d = get_3di_matrix().astype(np.float32)
+    rng = np.random.RandomState(19)
+    pairs = []
+    for i in range(8):
+        qa, qs, ta, ts, _ = _planted_pair(rng, L=200, shift=int(rng.randint(0, 50)))
+        d = vote_diagonal(qa, qs, ta, ts)
+        pairs.append((qa, qs, ta, ts, d))
+    qa, qs, ta, ts, ql, tl, d0 = _batchify(pairs, 256, 256)
+
+    single = sw_forward_banded(
+        qa, qs, ta, ts, ql, tl, d0, saa, s3d,
+        W=256, go=GO, ge=GE, w_aa=W_AA, w_3di=W_3DI, gap_window=64,
+    )
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("dp",))
+    sharded = sw_forward_banded_sharded(
+        qa, qs, ta, ts, ql, tl, d0, saa, s3d, mesh,
+        W=256, go=GO, ge=GE, w_aa=W_AA, w_3di=W_3DI, gap_window=64,
+    )
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_engine_long_routing_matches_full_path():
     """Force the banded path with a tiny long_threshold and check the
     hits (scores, coordinates, m8 columns) match the full-matrix path."""

@@ -362,14 +362,40 @@ class AlignmentEngine:
                     ta[row, : tl[row]] = eta
                     ts[row, : tl[row]] = ets
                     d0[row] = ed
-                res = sw_forward_banded(
-                    jnp.asarray(qa), jnp.asarray(qs), jnp.asarray(ta), jnp.asarray(ts),
-                    jnp.asarray(ql), jnp.asarray(tl), jnp.asarray(d0),
-                    jnp.asarray(self.saa), jnp.asarray(self.s3d),
-                    W=W, go=p.gap_open, ge=p.gap_extend,
-                    w_aa=p.w_aa, w_3di=p.w_3di,
-                    gap_window=p.gap_window, ungapped=ungapped,
-                )
+                import jax
+                devs = jax.devices()
+                if len(devs) > 1 and devs[0].platform in ("tpu", "axon"):
+                    # multi-chip: shard the long-pair batch too (padded
+                    # to the device count, same policy as _forward_batch)
+                    from jax.sharding import Mesh
+                    from unicore_tpu.ops.banded import sw_forward_banded_sharded
+                    B0 = qa.shape[0]
+                    Bd = _round_up(B0, len(devs))
+                    if Bd != B0:
+                        padn = Bd - B0
+                        qa = np.concatenate([qa, np.full((padn, LQ), 20, qa.dtype)])
+                        qs = np.concatenate([qs, np.full((padn, LQ), 20, qs.dtype)])
+                        ta = np.concatenate([ta, np.full((padn, LT), 20, ta.dtype)])
+                        ts = np.concatenate([ts, np.full((padn, LT), 20, ts.dtype)])
+                        ql = np.concatenate([ql, np.ones(padn, ql.dtype)])
+                        tl = np.concatenate([tl, np.ones(padn, tl.dtype)])
+                        d0 = np.concatenate([d0, np.zeros(padn, d0.dtype)])
+                    mesh = Mesh(np.asarray(devs), ("dp",))
+                    res = sw_forward_banded_sharded(
+                        qa, qs, ta, ts, ql, tl, d0, self.saa, self.s3d, mesh,
+                        W=W, go=p.gap_open, ge=p.gap_extend,
+                        w_aa=p.w_aa, w_3di=p.w_3di,
+                        gap_window=p.gap_window, ungapped=ungapped,
+                    )
+                else:
+                    res = sw_forward_banded(
+                        jnp.asarray(qa), jnp.asarray(qs), jnp.asarray(ta), jnp.asarray(ts),
+                        jnp.asarray(ql), jnp.asarray(tl), jnp.asarray(d0),
+                        jnp.asarray(self.saa), jnp.asarray(self.s3d),
+                        W=W, go=p.gap_open, ge=p.gap_extend,
+                        w_aa=p.w_aa, w_3di=p.w_3di,
+                        gap_window=p.gap_window, ungapped=ungapped,
+                    )
                 inflight.append((chunk, res))
                 profiling.add_counter(f"{counter}.cells", float(B) * LQ * W)
         for chunk, (b, qe, te) in inflight:

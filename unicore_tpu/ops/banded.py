@@ -182,6 +182,55 @@ def sw_forward_banded(
     return best, bi, tend
 
 
+def sw_forward_banded_sharded(
+    qa, qs, ta, ts, qlen, tlen, d0, saa, s3d,
+    mesh,
+    W: int = 256,
+    go: float = 28.0,
+    ge: float = 3.0,
+    w_aa: float = 4.0,
+    w_3di: float = 6.0,
+    gap_window: int = 0,
+    ungapped: bool = False,
+):
+    """Banded forward data-parallel over `mesh` (the long-pair analog of
+    ops/sw.py::sw_forward_sharded): the pair batch is sharded over the
+    mesh's first axis, every device runs the band scan on its shard.
+    B must be divisible by the device count (align/engine.py pads)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+        _sm_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        _sm_kw = {"check_rep": False}
+
+    axis = mesh.axis_names[0]
+
+    def local(qa, qs, ta, ts, ql, tl, d0, saa, s3d):
+        return sw_forward_banded(
+            qa, qs, ta, ts, ql, tl, d0, saa, s3d,
+            W=W, go=go, ge=ge, w_aa=w_aa, w_3di=w_3di,
+            gap_window=gap_window, ungapped=ungapped,
+        )
+
+    fn = _sm(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) * 7 + (P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        **_sm_kw,
+    )
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    args = [jax.device_put(jnp.asarray(x), sh)
+            for x in (qa, qs, ta, ts, qlen, tlen, d0)]
+    args += [jax.device_put(jnp.asarray(saa, jnp.float32), rep),
+             jax.device_put(jnp.asarray(s3d, jnp.float32), rep)]
+    return jax.jit(fn)(*args)
+
+
 def band_scores_ref(
     q_aa: np.ndarray, q_ss: np.ndarray, t_aa: np.ndarray, t_ss: np.ndarray,
     d0: int, W: int,
