@@ -23,6 +23,19 @@ def _lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(os.path.dirname(__file__), "libufio.so")
+    if not os.path.isfile(so) and not os.environ.get("UNICORE_TPU_NO_NATIVE_BUILD"):
+        # lazy one-shot build (~2 s with g++): a missing .so otherwise
+        # silently pins the featurizer to the Python fallback for the
+        # whole process
+        try:
+            import subprocess
+            import sys
+            subprocess.run(
+                [sys.executable, "-m", "unicore_tpu.native.build"],
+                capture_output=True, timeout=120, check=False,
+            )
+        except Exception:
+            pass
     if not os.path.isfile(so):
         return None
     try:
