@@ -105,25 +105,73 @@ def _measure() -> None:
     }))
 
 
+def _utime(pid: int) -> int:
+    """Cumulative user-mode jiffies of `pid` (0 if gone)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return int(f.read().rsplit(") ", 1)[1].split()[11])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _run_watched(cmd, cwd, env, out_path, hard_cap=600.0, stall_window=300.0):
+    """Run `cmd`, killing it only on a genuine stall.
+
+    A wedged chip claim hangs forever at ~0% CPU with no output; a long
+    remote compile is also low-CPU but still accumulates some utime and
+    eventually writes output.  So the kill condition is: no stdout growth
+    AND <0.2 s of CPU accumulated over `stall_window`.  Returns
+    (stalled, wall_s).
+    """
+    with open(out_path, "wb") as out:
+        p = subprocess.Popen(cmd, cwd=cwd, env=env, stdout=out,
+                             stderr=subprocess.DEVNULL)
+    t0 = time.time()
+    last_size, last_u, last_progress = 0, _utime(p.pid), t0
+    stalled = False
+    while p.poll() is None:
+        time.sleep(10)
+        now = time.time()
+        size = os.path.getsize(out_path)
+        u = _utime(p.pid)
+        if size > last_size or (u - last_u) >= 20:  # 20 jiffies = 0.2 s CPU
+            last_size, last_u, last_progress = size, u, now
+        if now - last_progress > stall_window or now - t0 > hard_cap:
+            stalled = True
+            p.kill()
+            p.wait()
+            break
+    return stalled, time.time() - t0
+
+
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    out_path = "/tmp/unicore_tpu_bench_child.out"
     last_line = None
-    for attempt in range(5):
+    for attempt in range(4):
+        stalled, wall = _run_watched(
+            [sys.executable, "-u", "-c", "import bench; bench._measure()"],
+            here, env, out_path,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-u", "-c", "import bench; bench._measure()"],
-                cwd=here, env=env, capture_output=True, text=True, timeout=330,
-            )
-            for ln in (r.stdout or "").strip().splitlines():
-                if ln.startswith("{"):
-                    last_line = ln
-            if last_line:
-                break
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1} timed out (device claim wedged); retrying", file=sys.stderr)
-        time.sleep(10)
+            with open(out_path) as f:
+                for ln in f.read().strip().splitlines():
+                    if ln.startswith("{"):
+                        last_line = ln
+        except OSError:
+            pass
+        if last_line:
+            break
+        if stalled:
+            # A killed client leaves the chip claim wedged; measured recovery
+            # needs a long cooldown (300 s worked, 60 s did not — CLAUDE.md).
+            print(f"bench attempt {attempt + 1} stalled after {wall:.0f}s "
+                  "(device claim wedged); cooling down 300s", file=sys.stderr)
+            time.sleep(300)
+        else:
+            time.sleep(10)
     if last_line is None:
         # all attempts wedged/failed — report honestly with zero value
         last_line = json.dumps({
