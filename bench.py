@@ -56,26 +56,35 @@ def _measure() -> None:
         ts = jnp.asarray(rng.randint(0, 20, (B, L)).astype(np.int32))
         ln = jnp.asarray(np.full(B, L, np.int32))
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(seed, n):
-            def body(i, acc):
-                q2 = jnp.roll(qa, i + seed, axis=0)
-                # the engine's shipping config (align/engine.py defaults):
-                # windowed gap scan + the auto batch tile (64)
-                b, _, _ = sw_forward_pallas(
-                    q2, qs, ta, ts, ln, ln, dsaa, ds3d, gap_window=64,
-                )
-                return acc + jnp.sum(b)
-            return jax.lax.fori_loop(0, n, body, 0.0)
+        def make_loop(**kw):
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def loop(seed, n):
+                def body(i, acc):
+                    q2 = jnp.roll(qa, i + seed, axis=0)
+                    b, _, _ = sw_forward_pallas(
+                        q2, qs, ta, ts, ln, ln, dsaa, ds3d, **kw,
+                    )
+                    return acc + jnp.sum(b)
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return loop
 
-        jax.block_until_ready(loop(jnp.int32(0), n=iters))  # compile+warm
-        times = []
-        for seed in (1000, 2000):
-            t0 = time.time()
-            jax.block_until_ready(loop(jnp.int32(seed), n=iters))
-            times.append(time.time() - t0)
-        dt = (min(times) - 0.1) / iters  # subtract one dispatch RTT
-        dt = max(dt, 1e-6)
+        def timed(loop, seeds):
+            jax.block_until_ready(loop(jnp.int32(0), n=iters))  # compile+warm
+            times = []
+            for seed in seeds:
+                t0 = time.time()
+                jax.block_until_ready(loop(jnp.int32(seed), n=iters))
+                times.append(time.time() - t0)
+            # subtract one dispatch RTT (tunnel adds ~100 ms per call)
+            return max((min(times) - 0.1) / iters, 1e-6)
+
+        # Shipping config (align/engine.py defaults): windowed gap scan +
+        # auto batch tile (64).
+        dt = timed(make_loop(gap_window=64), (1000, 2000))
+        # Same-session A/B vs the round-1 config (full-width scan, BT=32):
+        # the shared dev chip drifts ~1.8x between sessions, so the ratio —
+        # not the absolute GCUPS — is the cross-round progress signal.
+        dt_r1 = timed(make_loop(batch_tile=32), (3000, 4000))
     else:
         B, L, iters = 64, 128, 2
         qa = rng.randint(0, 20, (B, L)).astype(np.int32)
@@ -97,12 +106,17 @@ def _measure() -> None:
 
     gcups = B * L * L / dt / 1e9
     baseline_gcups = 2.0
-    print(json.dumps({
+    rec = {
         "metric": "sw_3di_gcups_per_chip",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / baseline_gcups, 2),
-    }))
+    }
+    if on_tpu:
+        r1 = B * L * L / dt_r1 / 1e9
+        rec["r1_config_gcups"] = round(r1, 2)  # same-session chip-state ref
+        rec["speedup_vs_r1_config"] = round(gcups / max(r1, 1e-9), 2)
+    print(json.dumps(rec))
 
 
 def _utime(pid: int) -> int:
@@ -120,28 +134,41 @@ def _run_watched(cmd, cwd, env, out_path, hard_cap=600.0, stall_window=300.0):
     A wedged chip claim hangs forever at ~0% CPU with no output; a long
     remote compile is also low-CPU but still accumulates some utime and
     eventually writes output.  So the kill condition is: no stdout growth
-    AND <0.2 s of CPU accumulated over `stall_window`.  Returns
-    (stalled, wall_s).
+    AND <0.2 s of CPU accumulated over `stall_window`.  The hard cap only
+    applies while the child looks stalled too — a run that is still
+    making progress (utime growing / output growing) is never killed, so
+    a legitimately long cold compile cannot be mistaken for a wedge.
+    Returns (kill_reason, wall_s) with kill_reason in
+    (None, "stall", "hard_cap").
     """
-    with open(out_path, "wb") as out:
-        p = subprocess.Popen(cmd, cwd=cwd, env=env, stdout=out,
-                             stderr=subprocess.DEVNULL)
+    err_path = out_path + ".err"
+    with open(out_path, "wb") as out, open(err_path, "wb") as err:
+        p = subprocess.Popen(cmd, cwd=cwd, env=env, stdout=out, stderr=err)
     t0 = time.time()
     last_size, last_u, last_progress = 0, _utime(p.pid), t0
-    stalled = False
+    kill_reason = None
     while p.poll() is None:
         time.sleep(10)
         now = time.time()
-        size = os.path.getsize(out_path)
+        size = os.path.getsize(out_path) + os.path.getsize(err_path)
         u = _utime(p.pid)
         if size > last_size or (u - last_u) >= 20:  # 20 jiffies = 0.2 s CPU
             last_size, last_u, last_progress = size, u, now
-        if now - last_progress > stall_window or now - t0 > hard_cap:
-            stalled = True
+        if now - last_progress > stall_window:
+            kill_reason = "hard_cap" if now - t0 > hard_cap else "stall"
             p.kill()
             p.wait()
             break
-    return stalled, time.time() - t0
+    return kill_reason, time.time() - t0
+
+
+def _tail(path: str, n: int = 5) -> str:
+    try:
+        with open(path, errors="replace") as f:
+            lines = f.read().strip().splitlines()
+        return " | ".join(lines[-n:])
+    except OSError:
+        return ""
 
 
 def main() -> int:
@@ -150,8 +177,10 @@ def main() -> int:
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     out_path = "/tmp/unicore_tpu_bench_child.out"
     last_line = None
-    for attempt in range(4):
-        stalled, wall = _run_watched(
+    attempts = 4
+    last_err = ""
+    for attempt in range(attempts):
+        kill_reason, wall = _run_watched(
             [sys.executable, "-u", "-c", "import bench; bench._measure()"],
             here, env, out_path,
         )
@@ -164,14 +193,24 @@ def main() -> int:
             pass
         if last_line:
             break
-        if stalled:
+        last_err = _tail(out_path + ".err")
+        if kill_reason:
             # A killed client leaves the chip claim wedged; measured recovery
             # needs a long cooldown (300 s worked, 60 s did not — CLAUDE.md).
-            print(f"bench attempt {attempt + 1} stalled after {wall:.0f}s "
-                  "(device claim wedged); cooling down 300s", file=sys.stderr)
-            time.sleep(300)
+            print(f"bench attempt {attempt + 1} killed ({kill_reason}) after "
+                  f"{wall:.0f}s; stderr tail: {last_err or '(empty)'}",
+                  file=sys.stderr)
+            if attempt < attempts - 1:
+                print("cooling down 300s before retry", file=sys.stderr)
+                time.sleep(300)
         else:
-            time.sleep(10)
+            # child exited by itself without a result — a real failure
+            # (ImportError, kernel exception), not a wedge
+            print(f"bench attempt {attempt + 1} exited without result after "
+                  f"{wall:.0f}s; stderr tail: {last_err or '(empty)'}",
+                  file=sys.stderr)
+            if attempt < attempts - 1:
+                time.sleep(10)
     if last_line is None:
         # all attempts wedged/failed — report honestly with zero value
         last_line = json.dumps({
@@ -179,14 +218,12 @@ def main() -> int:
             "value": 0.0,
             "unit": "GCUPS",
             "vs_baseline": 0.0,
-            "error": "device unavailable after 4 attempts",
+            "error": f"device unavailable after {attempts} attempts; "
+                     f"last stderr: {last_err[:400]}",
         })
     print(last_line)
     return 0
 
 
 if __name__ == "__main__":
-    if os.environ.get("UNICORE_TPU_BENCH_CHILD"):
-        _measure()
-    else:
-        sys.exit(main())
+    sys.exit(main())

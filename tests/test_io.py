@@ -94,3 +94,37 @@ def test_write_cluster_db_reference_format(tmp_path):
     assert raw[offs[0]:offs[0] + lens[0]] == b"0\n2\n\x00"
     assert raw[offs[1]:offs[1] + lens[1]] == b"5\n\x00"
     assert open(p + ".dbtype", "rb").read()[:1] == b"\x06"
+
+
+def test_write_aln_db_reference_format(tmp_path):
+    """search --keep-aln-db: query-keyed index, mmseqs alignment rows, NUL
+    framing readable by the reference's read_db (search.rs:64-72 keep
+    path)."""
+    from unicore_tpu.align.engine import Hit
+    from unicore_tpu.io.seqdb import read_db, write_aln_db
+
+    hits = [
+        Hit(qidx=0, tidx=3, score=120, qstart=0, qend=49, tstart=2, tend=51,
+            evalue=1e-10, fident=0.82),
+        Hit(qidx=0, tidx=1, score=60, qstart=5, qend=30, tstart=0, tend=25,
+            evalue=1e-4, fident=0.45),
+        Hit(qidx=2, tidx=2, score=200, qstart=0, qend=99, tstart=0, tend=99,
+            evalue=0.0, fident=1.0),
+    ]
+    qlen = [50, 10, 100]
+    tlen = [40, 26, 100, 60]
+    p = str(tmp_path / "search_aln")
+    write_aln_db(p, hits, qlen, tlen)
+
+    # payload rows parse as "tKey score seqId eval qStart qEnd qLen tStart tEnd tLen"
+    rows = [r.split() for r in read_db(p)]
+    assert [r[0] for r in rows] == ["3", "1", "2"]
+    assert rows[0] == ["3", "120", "0.820", "1.000E-10", "0", "49", "50", "2", "51", "60"]
+    assert rows[2][6] == "100" and rows[2][9] == "100"
+    idx = [ln.split("\t") for ln in open(p + ".index").read().splitlines()]
+    assert [e[0] for e in idx] == ["0", "2"]  # keyed by query internal id
+    offs, lens = [int(e[1]) for e in idx], [int(e[2]) for e in idx]
+    raw = open(p, "rb").read()
+    for o, ln in zip(offs, lens):
+        assert raw[o:o + ln].endswith(b"\n\x00")
+    assert open(p + ".dbtype", "rb").read()[:1] == b"\x05"

@@ -114,3 +114,43 @@ def test_long_protein_windowed_translation():
     # short sequences are unaffected by the windowing machinery
     eng_full = ProstT5Engine(cfg=T5Config.small(), seed=3, max_window=2048)
     assert eng_full.predict([short])[0] == out[1]
+
+
+def test_windowed_stitch_matches_per_window_reference():
+    """Boundary-exact check of the midpoint-handoff arithmetic
+    (models/prostt5.py predict): every stitched position must equal the
+    translation of its OWNING window at the right in-window offset, with
+    ownership computed independently here: window k owns
+    [end_{k-1}, start_k + W - V//2), last window owns through the end.
+    Covers the three window-layout cases: len = W+1 (appended 1-residue
+    tail window), len exactly tiling (no appended window), and a long
+    sequence with an appended final window."""
+    from unicore_tpu.models.prostt5 import ProstT5Engine, T5Config
+
+    W, V = 96, 32
+    eng = ProstT5Engine(cfg=T5Config.small(), seed=3, max_window=W, overlap=V)
+    rng = np.random.RandomState(1)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+
+    for L in (W + 1, 160, 300):  # 160 = exact tiling with step 64
+        seq = "".join(rng.choice(list(letters), L))
+        # independent window layout (same contract, rebuilt here)
+        step = W - V
+        starts = list(range(0, max(L - W, 0) + 1, step))
+        if starts[-1] + W < L:
+            starts.append(L - W)
+        # per-window translations through the same forward path
+        win_3di = eng._predict_units([seq[st:st + W] for st in starts])
+        # independent ownership map
+        expected = ["?"] * L
+        own_from = 0
+        for k, st in enumerate(starts):
+            own_to = st + len(win_3di[k])
+            for pos in range(max(own_from, st), own_to):
+                expected[pos] = win_3di[k][pos - st]
+            own_from = own_to - V // 2
+        assert "?" not in expected, f"ownership gap at L={L}"
+
+        got = eng.predict([seq])[0]
+        assert len(got) == L
+        assert got == "".join(expected), f"stitch mismatch at L={L}"

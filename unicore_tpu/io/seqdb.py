@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 DBTYPE_AA = 0
 DBTYPE_HEADER = 12
 DBTYPE_3DI = 0  # foldseek stores 3Di as an aa-alphabet db
+DBTYPE_ALIGNMENT = 5  # mmseqs/foldseek alignment result db
 DBTYPE_CLUSTER = 6  # mmseqs/foldseek clustering result db
 
 
@@ -176,6 +177,39 @@ def write_cluster_db(db_path: str, clusters: Dict[int, List[int]]) -> None:
         for key, o, ln in entries:
             f.write(f"{key}\t{o}\t{ln}\n")
     _write_dbtype(db_path + ".dbtype", DBTYPE_CLUSTER)
+
+
+def write_aln_db(db_path: str, hits, qlen, tlen) -> None:
+    """Reference-format alignment result DB (the `{out}_aln` that
+    `foldseek search` leaves behind with --keep-aln-db, search.rs:64-72):
+    one record per query, keyed by the query's internal id in the .index,
+    payload = one alignment row per hit in the mmseqs/foldseek alignment
+    format
+
+        targetKey score seqId eValue qStart qEnd qLen tStart tEnd tLen
+
+    (space-separated, 0-based inclusive coordinates), `\\n\\0` framing
+    readable by the reference's read_db.  `hits` must be sorted by qidx
+    (modules/search.py sorts before writing)."""
+    by_query: Dict[int, List[str]] = {}
+    for h in hits:
+        by_query.setdefault(h.qidx, []).append(
+            f"{h.tidx} {int(round(h.score))} {h.fident:.3f} {h.evalue:.3E} "
+            f"{h.qstart} {h.qend} {qlen[h.qidx]} "
+            f"{h.tstart} {h.tend} {tlen[h.tidx]}"
+        )
+    entries = []
+    off = 0
+    with open(db_path, "wb") as f:
+        for qidx in sorted(by_query):
+            payload = ("\n".join(by_query[qidx])).encode() + b"\n\x00"
+            f.write(payload)
+            entries.append((qidx, off, len(payload)))
+            off += len(payload)
+    with open(db_path + ".index", "w") as f:
+        for key, o, ln in entries:
+            f.write(f"{key}\t{o}\t{ln}\n")
+    _write_dbtype(db_path + ".dbtype", DBTYPE_ALIGNMENT)
 
 
 # ------------------------------------------------------------- db utilities

@@ -87,8 +87,11 @@ def run(args) -> None:
     write_m8(output + ".m8", hits, target_db.names, proteome_db.names)
 
     if keep:
-        with open(output + "_aln", "w") as f:
-            for h in hits:
-                f.write(f"{h.qidx}\t{h.tidx}\t{h.score}\n")
+        # persist the intermediate alignment db in the reference's format
+        # (query-keyed index, mmseqs alignment rows; search.rs:64-72)
+        from unicore_tpu.io.seqdb import write_aln_db
+        qlen = [len(a) for a in target_db.aa_seqs]
+        tlen = [len(a) for a in proteome_db.aa_seqs]
+        write_aln_db(output + "_aln", hits, qlen, tlen)
 
     chkpnt.write_checkpoint(os.path.join(parent, "search.chk"), "1")
