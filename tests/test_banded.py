@@ -177,3 +177,75 @@ def test_engine_long_routing_matches_full_path():
         assert (a.qstart, a.qend, a.tstart, a.tend) == (b.qstart, b.qend, b.tstart, b.tend)
         assert (a.alnlen, a.mismatch, a.gapopen) == (b.alnlen, b.mismatch, b.gapopen)
         assert a.fident == b.fident
+
+
+def _distant_pair(rng, L=300, shift=30):
+    """Distant structural homolog: every AA 6-mer broken by within-group
+    (Murphy) substitutions at ~55% of positions (so AA identity < 45%
+    and no exact combined 6-mer survives), 3Di perturbed every 5th
+    position (structure conserved but combined words all broken)."""
+    from unicore_tpu.ops.banded import REDUCED_AA_GROUPS
+
+    groups = {}
+    for code, g in enumerate(REDUCED_AA_GROUPS[:20]):
+        groups.setdefault(int(g), []).append(code)
+    qa = rng.randint(0, 20, L).astype(np.int32)
+    qs = rng.randint(0, 20, L).astype(np.int32)
+    ta = np.concatenate([rng.randint(0, 20, shift), qa.copy()]).astype(np.int32)
+    ts = np.concatenate([rng.randint(0, 20, shift), qs.copy()]).astype(np.int32)
+    for i in range(shift, shift + L):
+        if rng.rand() < 0.55:  # conservative (same-group) substitution
+            others = [c for c in groups[int(REDUCED_AA_GROUPS[ta[i]])] if c != ta[i]]
+            if others:
+                ta[i] = others[rng.randint(len(others))]
+    # break every combined 6-mer: a guaranteed-different 3Di letter at
+    # every 5th position (each 6-window contains one)
+    idx = np.arange(shift, len(ts), 5)
+    ts[idx] = (ts[idx] + rng.randint(1, 20, len(idx))) % 20
+    return qa, qs, ta, ts, shift
+
+
+def test_sensitive_vote_rescues_distant_homolog():
+    """Zero combined 6-mers but conserved structure: the sensitive
+    (3Di-only / reduced-AA) vote must still find the planted diagonal."""
+    from unicore_tpu.ops.banded import vote_diagonal_sensitive
+
+    rng = np.random.RandomState(11)
+    for shift in (0, 30, 90):
+        qa, qs, ta, ts, true = _distant_pair(rng, L=300, shift=shift)
+        assert vote_diagonal(qa, qs, ta, ts) is None  # the old cliff
+        d = vote_diagonal_sensitive(qa, qs, ta, ts)
+        assert d is not None
+        assert abs(d - true) <= 16, (d, true)
+
+
+def test_engine_distant_long_pairs_match_full_sw():
+    """Round-2 VERDICT #8 'done' criterion: long pairs with no exact
+    shared 6-mer produce hits identical to full SW — via the sensitive
+    seed when it fires, via the full-SW fallback when even that fails."""
+    from unicore_tpu.align.engine import AlignmentEngine, AlignParams
+
+    rng = np.random.RandomState(23)
+    q_aa, q_ss, t_aa, t_ss = [], [], [], []
+    # two distant homolog pairs (sensitive-seed path)
+    for _ in range(2):
+        qa, qs, ta, ts, _ = _distant_pair(rng, L=280, shift=25)
+        q_aa.append(qa); q_ss.append(qs); t_aa.append(ta); t_ss.append(ts)
+    # one pair where even the sensitive vote finds nothing (full-SW
+    # fallback): an unrelated random target
+    qa = rng.randint(0, 20, 280).astype(np.int32)
+    qs = rng.randint(0, 20, 280).astype(np.int32)
+    q_aa.append(qa); q_ss.append(qs)
+    t_aa.append(rng.randint(0, 20, 300).astype(np.int32))
+    t_ss.append(rng.randint(0, 20, 300).astype(np.int32))
+    pairs = [(i, i) for i in range(3)]
+
+    full = AlignmentEngine(AlignParams(backend="xla", long_threshold=0))
+    band = AlignmentEngine(AlignParams(backend="xla", long_threshold=64))
+    # compare raw alignment results (pre-gate): the cliff was scoring
+    # such pairs 0, losing them before any gate ran
+    r_full = full._sw_pass([(i, q_aa[i], q_ss[i], t_aa[i], t_ss[i]) for i in range(3)])
+    r_band = band._sw_pass([(i, q_aa[i], q_ss[i], t_aa[i], t_ss[i]) for i in range(3)])
+    for k in range(3):
+        assert r_band[k] == r_full[k], (k, r_band[k], r_full[k])
+    assert r_full[0][0] > 100  # the homologs really score

@@ -161,13 +161,14 @@ class AlignmentEngine:
         self._lambda = stats.combined_lambda(
             self.saa[:20, :20], self.s3d[:20, :20], self.params.w_aa, self.params.w_3di
         )
-        self._gapped: Optional[Tuple[float, float]] = None
+        self._gapped: Optional["stats.GappedStats"] = None
 
     # ------------------------------------------------------------------
-    def _stats(self) -> Tuple[float, float]:
-        """Calibrated gapped (lambda, K): fitted by simulating the actual
-        kernel on random pairs (disk-cached per scoring config); replaces
-        the ungapped-lambda + fixed-K approximation."""
+    def _stats(self) -> "stats.GappedStats":
+        """Calibrated gapped statistics (lambda, K, edge-effect length):
+        fitted by simulating the actual kernel on random pairs at several
+        lengths (disk-cached per scoring config); replaces the
+        ungapped-lambda + fixed-K single-point approximation."""
         if self._gapped is None:
             import hashlib
             p = self.params
@@ -182,7 +183,7 @@ class AlignmentEngine:
                 b, _, _ = self._forward_batch(qa, qs, ta, ts, ql, tl)
                 return np.asarray(b)
 
-            self._gapped = stats.calibrate_gapped(score_fn, key)
+            self._gapped = stats.calibrate_gapped_lengths(score_fn, key)
         return self._gapped
 
     # ------------------------------------------------------------------
@@ -257,14 +258,16 @@ class AlignmentEngine:
     # ------------------------------------------------------------------
     def _sw_pass(
         self, entries: List[tuple], ungapped: bool = False,
-        counter: str = "align",
+        counter: str = "align", split_long: bool = True,
     ) -> Dict[int, Tuple[float, int, int]]:
         """Bucketed, padded, batched kernel dispatch.
 
         `entries` is a list of (key, qa, qs, ta, ts) per pair (code
         arrays, unpadded).  Returns {key: (best, qend, tend)}.  All
         batches are dispatched before any result is collected, so host
-        packing overlaps device compute.
+        packing overlaps device compute.  `split_long=False` forces the
+        full-matrix path even above `long_threshold` (the banded pass's
+        last-resort fallback for seedless pairs).
         """
         p = self.params
         from unicore_tpu.runtime import profiling
@@ -273,7 +276,7 @@ class AlignmentEngine:
         long_entries: List[tuple] = []
         for e in entries:
             n = max(len(e[1]), len(e[3]))
-            if p.long_threshold and n > p.long_threshold:
+            if split_long and p.long_threshold and n > p.long_threshold:
                 long_entries.append(e)
                 continue
             b = _bucket(n)
@@ -330,16 +333,33 @@ class AlignmentEngine:
         p = self.params
         out: Dict[int, Tuple[float, int, int]] = {}
         buckets: Dict[Tuple[int, int, int], List[tuple]] = {}
+        full_fallback: List[tuple] = []
         for key, eqa, eqs, eta, ets in entries:
             d0 = vote_diagonal(eqa, eqs, eta, ets)
+            wide = 0
             if d0 is None:
-                out[key] = (0.0, 0, 0)
-                continue
+                # recall-cliff fallback (VERDICT round-2 #8): distant
+                # homologs with zero exact combined 6-mers get a more
+                # sensitive seed (3Di-only, then reduced-alphabet AA)
+                # and a doubled band; still-seedless pairs go to full
+                # (unbanded) SW rather than scoring 0.
+                from unicore_tpu.ops.banded import vote_diagonal_sensitive
+                d0 = vote_diagonal_sensitive(eqa, eqs, eta, ets)
+                if d0 is None:
+                    full_fallback.append((key, eqa, eqs, eta, ets))
+                    continue
+                wide = 1
             LQ = _bucket(len(eqa))
             LT = _bucket(len(eta))
-            W = max(p.band_width, _round_up(abs(len(eqa) - len(eta)) + 128, 128))
+            W = max(p.band_width << wide,
+                    _round_up(abs(len(eqa) - len(eta)) + 128, 128))
             W = min(W, LT)  # a band wider than the target is the full matrix
             buckets.setdefault((LQ, LT, W), []).append((key, eqa, eqs, eta, ets, d0))
+        if full_fallback:
+            out.update(self._sw_pass(
+                full_fallback, ungapped=ungapped, counter=counter,
+                split_long=False,
+            ))
         inflight = []
         for (LQ, LT, W), items in sorted(buckets.items()):
             # (B, LQ, W) f32 band tensor is the memory driver: cap ~128 MB
@@ -456,7 +476,8 @@ class AlignmentEngine:
         # the target side.  Pairs that already fail these (or the E-value
         # gate on the final score) never need the reverse pass.
         n_db = float(tlen_all.sum())
-        lam_g, K_g = self._stats()
+        n_seqs = int(len(tlen_all))
+        gs = self._stats()
         skip = pruned.copy()
         cov = p.coverage
         for k, (qi, ti) in enumerate(pairs):
@@ -471,7 +492,7 @@ class AlignmentEngine:
             if p.cov_mode in (0, 1) and (tend[k] + 1) < cov * tlen_all[ti]:
                 skip[k] = True
                 continue
-            if float(stats.evalue(best[k], qlen_all[qi], n_db, lam_g, K_g)) > p.evalue:
+            if float(gs.evalue(best[k], qlen_all[qi], n_db, n_seqs)) > p.evalue:
                 skip[k] = True
 
         starts_q = np.zeros(len(pairs), dtype=np.int64)
@@ -495,8 +516,8 @@ class AlignmentEngine:
         for k, (qi, ti) in enumerate(pairs):
             if skip[k]:
                 continue
-            ev = float(stats.evalue(best[k], qlen_all[qi], n_db, lam_g, K_g))
-            bits = float(stats.bitscore(best[k], lam_g, K_g))
+            ev = float(gs.evalue(best[k], qlen_all[qi], n_db, n_seqs))
+            bits = float(gs.bits(best[k]))
             hits.append(
                 Hit(
                     qidx=int(qi), tidx=int(ti), score=float(best[k]),

@@ -120,18 +120,27 @@ def _cache_path(key: str) -> str:
     return os.path.join(d, f"gapped_{key}.json")
 
 
+def _simulate_scores(score_fn, B: int, L: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    qa = rng.randint(0, 20, (B, L)).astype(np.int32)
+    qs = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ta = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ts = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ln = np.full(B, L, np.int32)
+    return np.asarray(score_fn(qa, qs, ta, ts, ln, ln), dtype=np.float64)
+
+
 def calibrate_gapped(
     score_fn, key: str, B: int = 512, L: int = 128, seed: int = 17,
 ) -> tuple:
-    """(lambda, K) for GAPPED alignment scores, fitted on scores of
-    random uniform-background pairs computed by the production kernel
-    itself (`score_fn(qa, qs, ta, ts, qlen, tlen) -> (B,) best`).
+    """Single-length (lambda, K) for GAPPED alignment scores, fitted on
+    scores of random uniform-background pairs computed by the production
+    kernel itself (`score_fn(qa, qs, ta, ts, qlen, tlen) -> (B,) best`).
 
-    The reference delegates this to Foldseek's precomputed gapped
-    parameters; simulating with our own kernel calibrates the actual
-    scoring (integer units, combined 3Di+AA, windowed gaps).  Results
-    are cached on disk per (matrix, weights, gap, window) key — the
-    kernel is bit-exact across backends, so the cache is portable.
+    The engine uses the length-aware `calibrate_gapped_lengths` below;
+    this single-point variant remains as the primitive/fallback.
+    Results are cached on disk per (matrix, weights, gap, window) key —
+    the kernel is bit-exact across backends, so the cache is portable.
     """
     import json
     import os
@@ -140,14 +149,105 @@ def calibrate_gapped(
     if os.path.exists(path):
         d = json.load(open(path))
         return d["lambda"], d["K"]
-    rng = np.random.RandomState(seed)
-    qa = rng.randint(0, 20, (B, L)).astype(np.int32)
-    qs = rng.randint(0, 20, (B, L)).astype(np.int32)
-    ta = rng.randint(0, 20, (B, L)).astype(np.int32)
-    ts = rng.randint(0, 20, (B, L)).astype(np.int32)
-    ln = np.full(B, L, np.int32)
-    best = np.asarray(score_fn(qa, qs, ta, ts, ln, ln), dtype=np.float64)
+    best = _simulate_scores(score_fn, B, L, seed)
     lam, K = fit_gumbel(best, L, L)
     with open(path, "w") as f:
         json.dump({"lambda": lam, "K": K, "B": B, "L": L, "seed": seed}, f)
     return lam, K
+
+
+class GappedStats:
+    """Length-aware gapped Karlin-Altschul statistics.
+
+    Gapped score distributions converge to their asymptotic Gumbel slowly
+    — both the fitted lambda and K drift with sequence length at realistic
+    protein lengths (the finite-size effect).  Rather than forcing a
+    single (lambda, K) plus a one-parameter edge correction onto data it
+    demonstrably misfits, we keep the per-length Gumbel fits
+    {L_i: (lambda_i, K_i)} and interpolate both parameters linearly in
+    ln(L), clamped at the calibration range ends.  The pair-scale used
+    for lookup is the geometric mean of the query length and the mean
+    target length, x = sqrt(m * n/n_seqs), so m-vs-database E-values use
+    the statistics of comparably-sized comparisons:
+
+        E(S; m, n) = K(x) * m * n * exp(-lambda(x) * S)
+    """
+
+    def __init__(self, lengths, lams, Ks):
+        order = np.argsort(lengths)
+        self.lengths = np.asarray(lengths, dtype=np.float64)[order]
+        self.lams = np.asarray(lams, dtype=np.float64)[order]
+        self.Ks = np.asarray(Ks, dtype=np.float64)[order]
+        self._ln_l = np.log(self.lengths)
+
+    # backward-compatible (lam, K) unpacking: the asymptotic (longest
+    # calibrated length) parameters
+    def __iter__(self):
+        return iter((float(self.lams[-1]), float(self.Ks[-1])))
+
+    @property
+    def lam(self) -> float:
+        return float(self.lams[-1])
+
+    @property
+    def K(self) -> float:
+        return float(self.Ks[-1])
+
+    def params_at(self, x: float) -> tuple:
+        """(lambda, K) at pair scale x, ln-length interpolated/clamped."""
+        lx = math.log(min(max(x, self.lengths[0]), self.lengths[-1]))
+        lam = float(np.interp(lx, self._ln_l, self.lams))
+        K = math.exp(float(np.interp(lx, self._ln_l, np.log(self.Ks))))
+        return lam, K
+
+    def evalue(self, score, m: float, n: float, n_seqs: int = 1) -> np.ndarray:
+        x = math.sqrt(max(m, 1.0) * max(n / max(n_seqs, 1), 1.0))
+        lam, K = self.params_at(x)
+        return K * m * n * np.exp(-lam * np.asarray(score, dtype=np.float64))
+
+    def bits(self, score) -> np.ndarray:
+        lam, K = float(self.lams[-1]), float(self.Ks[-1])
+        return (lam * np.asarray(score, dtype=np.float64) - math.log(K)) / math.log(2.0)
+
+
+def fit_gapped_model(samples: dict) -> GappedStats:
+    """Per-length Gumbel fits from score samples {L: scores}."""
+    lengths, lams, Ks = [], [], []
+    for L in sorted(samples):
+        lam, K = fit_gumbel(np.asarray(samples[L], dtype=np.float64), L, L)
+        lengths.append(float(L))
+        lams.append(lam)
+        Ks.append(K)
+    return GappedStats(lengths, lams, Ks)
+
+
+def calibrate_gapped_lengths(
+    score_fn,
+    key: str,
+    lengths: tuple = (128, 512, 2048),
+    n_samples: tuple = (512, 192, 48),
+    seed: int = 17,
+) -> GappedStats:
+    """Length-aware gapped statistics fitted by simulating the actual
+    kernel at several lengths (disk-cached per scoring config; the kernel
+    is bit-exact across backends so the cache — and therefore every
+    E-value-dependent gate — is backend-independent)."""
+    import json
+    import os
+
+    path = _cache_path("len3_" + key)
+    if os.path.exists(path):
+        d = json.load(open(path))
+        return GappedStats(d["lengths"], d["lambdas"], d["Ks"])
+    samples = {
+        L: _simulate_scores(score_fn, B, L, seed + i)
+        for i, (L, B) in enumerate(zip(lengths, n_samples))
+    }
+    gs = fit_gapped_model(samples)
+    with open(path, "w") as f:
+        json.dump({
+            "lengths": gs.lengths.tolist(), "lambdas": gs.lams.tolist(),
+            "Ks": gs.Ks.tolist(), "n_samples": list(n_samples),
+            "seed": seed,
+        }, f)
+    return gs

@@ -76,6 +76,13 @@ def vote_diagonal(
     441-letter alphabet that means the pair is unalignable junk."""
     qk = _combined_kmers(q_aa, q_ss, k)
     tk = _combined_kmers(t_aa, t_ss, k)
+    return _vote_hist(qk, tk, len(q_aa), len(t_aa), max_occ, smooth)
+
+
+def _vote_hist(
+    qk: np.ndarray, tk: np.ndarray, Lq: int, Lt: int, max_occ: int, smooth: int,
+) -> Optional[int]:
+    """Diagonal histogram vote over exact integer k-mer matches."""
     if len(qk) == 0 or len(tk) == 0:
         return None
     order = np.argsort(tk, kind="stable")
@@ -88,12 +95,68 @@ def vote_diagonal(
         return None
     tpos = np.concatenate([order[lo[i] : hi[i]] for i in sel])
     qpos = np.repeat(sel, cnt[sel])
-    Lq, Lt = len(q_aa), len(t_aa)
     hist = np.zeros(Lq + Lt, dtype=np.int64)
     np.add.at(hist, tpos - qpos + Lq, 1)
     win = 2 * smooth + 1
     sm = np.convolve(hist, np.ones(win, dtype=np.int64), mode="same")
     return int(np.argmax(sm)) - Lq
+
+
+# Murphy-style 10-group reduced AA alphabet (+X): conservative
+# substitutions (I/L/V/M, K/R, D/E/N/Q, F/Y/W, S/T) map to the same
+# group, so distant homologs that share no exact 6-mer still share
+# reduced k-mers.  Indexed by AA_FULL code order "ARNDCQEGHILKMFPSTWYV"+X.
+REDUCED_AA_GROUPS = np.array(
+    [2, 8, 7, 7, 1, 7, 7, 3, 9, 0, 0, 8, 0, 6, 5, 4, 4, 6, 6, 0, 10],
+    dtype=np.int64,
+)
+_NGROUPS = 11
+
+
+def _plain_kmers(sym: np.ndarray, alpha: int, k: int) -> np.ndarray:
+    """Exact integer k-mers over a single small alphabet."""
+    c = sym.astype(np.int64)
+    n = len(c) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    v = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        v = v * alpha + c[i : i + n]
+    return v
+
+
+def vote_diagonal_sensitive(
+    q_aa: np.ndarray, q_ss: np.ndarray, t_aa: np.ndarray, t_ss: np.ndarray,
+    smooth: int = 8,
+) -> Optional[int]:
+    """Fallback seed vote for pairs with no exact combined 6-mer
+    (round-2 VERDICT: the recall cliff at zero votes).
+
+    Two progressively wider nets, in order:
+      1. 3Di-only exact 6-mers — structure is conserved far below the
+         twilight zone of sequence identity (foldseek's core premise),
+         so a distant structural homolog usually still shares 3Di words
+         even when AA+3Di combined words are all broken.
+      2. Reduced-alphabet AA 7-mers (Murphy 10 groups) — conservative
+         substitutions stop breaking words.
+    Higher max_occ guards compensate the smaller alphabets' higher
+    random match rates; the smoothed histogram argmax drowns the extra
+    noise votes.  Returns None only when both nets come up empty — the
+    engine then routes the pair to full (unbanded) SW.
+    """
+    Lq, Lt = len(q_aa), len(t_aa)
+    d0 = _vote_hist(
+        _plain_kmers(np.asarray(q_ss), 21, 6), _plain_kmers(np.asarray(t_ss), 21, 6),
+        Lq, Lt, max_occ=64, smooth=smooth,
+    )
+    if d0 is not None:
+        return d0
+    qr = REDUCED_AA_GROUPS[np.asarray(q_aa, dtype=np.int64)]
+    tr = REDUCED_AA_GROUPS[np.asarray(t_aa, dtype=np.int64)]
+    return _vote_hist(
+        _plain_kmers(qr, _NGROUPS, 7), _plain_kmers(tr, _NGROUPS, 7),
+        Lq, Lt, max_occ=64, smooth=smooth,
+    )
 
 
 @functools.partial(
