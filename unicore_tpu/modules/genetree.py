@@ -67,8 +67,8 @@ def run(args) -> None:
         gene_files = [os.path.join(gene_fasta_dir, g + ".txt") for g in gene_dirs]
         run_aligner(aligner, gene_fasta_dir, gene_files, aligner_options, threshold)
 
-    msg.print_message(f"\rInferring gene specific phylogenetic trees 0/{len(gene_dirs)}...", 3)
-    for i, gene in enumerate(gene_dirs, 1):
+    msa_files, out_dirs = [], []
+    for gene in gene_dirs:
         gene_dir = os.path.join(gene_fasta_dir, gene)
         msa = os.path.join(gene_dir, f"{gene}.fa.filtered")
         if not os.path.isfile(msa):
@@ -81,7 +81,26 @@ def run(args) -> None:
             )
             for f in stale:
                 os.remove(os.path.join(gene_dir, f))
-        builder = "raxml-ng" if tree_builder == "raxml" else tree_builder
-        run_tree_builder(builder, gene_dir, msa, tree_options)
-        msg.print_message(f"\rInferring gene specific phylogenetic trees {i}/{len(gene_dirs)}...", 3)
+        msa_files.append(msa)
+        out_dirs.append(gene_dir)
+
+    builder = "raxml-ng" if tree_builder == "raxml" else tree_builder
+    from unicore_tpu.runtime import registry
+    factory = registry.get(builder)
+    if factory is None:
+        err.error(err.ERR_BINARY_NOT_FOUND, builder)
+    engine = factory()
+    if hasattr(engine, "run_files"):
+        # batched inference: genes grouped by (taxa, pattern bucket),
+        # one compiled program set + lockstep NNI per group
+        # (genetree.rs:113-143 was one full process per gene)
+        msg.print_message(
+            f"\rInferring gene specific phylogenetic trees ({len(gene_dirs)} genes, batched)...", 3
+        )
+        engine.run_files(msa_files, out_dirs, options=tree_options)
+    else:
+        msg.print_message(f"\rInferring gene specific phylogenetic trees 0/{len(gene_dirs)}...", 3)
+        for i, (msa, gene_dir) in enumerate(zip(msa_files, out_dirs), 1):
+            run_tree_builder(builder, gene_dir, msa, tree_options)
+            msg.print_message(f"\rInferring gene specific phylogenetic trees {i}/{len(gene_dirs)}...", 3)
     msg.println_message("Done", 3)

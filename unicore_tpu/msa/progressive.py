@@ -44,13 +44,20 @@ class _Alignment:
 
 
 def _profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.ndarray:
+    """One-hot column profile, fully vectorized (no per-row Python loop):
+    gather every row's residue codes through a flat concatenated code
+    array, then histogram (column, code) pairs with one bincount."""
     n, L = aln.cols.shape
-    prof = np.zeros((L, size), dtype=np.float32)
-    for r, sidx in enumerate(aln.rows):
-        codes = seqs_codes[sidx]
-        idx = aln.cols[r]
-        valid = idx >= 0
-        prof[np.nonzero(valid)[0], codes[idx[valid]]] += 1.0
+    flat = np.concatenate([seqs_codes[s] for s in aln.rows])
+    lens = np.array([len(seqs_codes[s]) for s in aln.rows], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64)
+    idx = aln.cols
+    valid = idx >= 0
+    gidx = np.where(valid, idx + offs[:, None], 0)
+    codes = flat[gidx]
+    cols = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
+    key = cols[valid] * size + codes[valid]
+    prof = np.bincount(key, minlength=L * size).reshape(L, size).astype(np.float32)
     prof /= max(n, 1)
     return prof
 
@@ -58,12 +65,13 @@ def _profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.nda
 def _merge(aln1: _Alignment, aln2: _Alignment, path: List[Tuple[int, int]]) -> _Alignment:
     L = len(path)
     n1, n2 = aln1.cols.shape[0], aln2.cols.shape[0]
+    p = np.asarray(path, dtype=np.int32).reshape(L, 2)
+    pi, pj = p[:, 0], p[:, 1]
     out = np.full((n1 + n2, L), -1, dtype=np.int32)
-    for c, (i, j) in enumerate(path):
-        if i >= 0:
-            out[:n1, c] = aln1.cols[:, i]
-        if j >= 0:
-            out[n1:, c] = aln2.cols[:, j]
+    m1 = pi >= 0
+    out[:n1, m1] = aln1.cols[:, pi[m1]]
+    m2 = pj >= 0
+    out[n1:, m2] = aln2.cols[:, pj[m2]]
     return _Alignment(aln1.rows + aln2.rows, out)
 
 
@@ -158,6 +166,12 @@ class ProgressiveMSA:
         t0 = __import__("time").time()
         results: List[Optional[Dict[str, str]]] = [None] * len(genes)
         tasks: List[Optional[_GeneTask]] = [None] * len(genes)
+        # guide stage: ONE gram matmul over every gene's k-mer bags
+        # (device-resident for large batches) instead of per-gene matmuls
+        from unicore_tpu.msa.guide_tree import kmer_distance_matrices
+        multi = [g for g, (_, aa_seqs, _) in enumerate(genes) if len(aa_seqs) > 1]
+        Ds = kmer_distance_matrices([genes[g][1] for g in multi])
+        D_by_gene = dict(zip(multi, Ds))
         for g, (names, aa_seqs, ss_seqs) in enumerate(genes):
             n = len(aa_seqs)
             if n == 0:
@@ -171,8 +185,7 @@ class ProgressiveMSA:
             ss_codes = (
                 [encode_3di(s).astype(np.int32) for s in ss_seqs] if use_ss else None
             )
-            D = kmer_distance_matrix(aa_seqs)
-            tasks[g] = _GeneTask(names, aa_seqs, aa_codes, ss_codes, upgma(D))
+            tasks[g] = _GeneTask(names, aa_seqs, aa_codes, ss_codes, upgma(D_by_gene[g]))
 
         # ---- merge rounds: batch every ready merge across genes ----
         while True:
@@ -197,13 +210,51 @@ class ProgressiveMSA:
                 task.aln[nid] = self._strip_empty(_merge(a1, a2, path))
                 task.pending.discard(nid)
 
+        # ---- linsi refinement: leave-one-out steps batched across genes
+        # (each gene's steps stay strictly sequential — identical results
+        # to the per-gene host loop — but every gene's current step rides
+        # one nw_align_batch dispatch per round) ----
+        states: Dict[int, list] = {}
         for g, task in enumerate(tasks):
             if task is None:
                 continue
             aln = task.root_aln
-            for _ in range(self.refine_iters):
-                aln = self._refine(aln, task.aa_codes, task.ss_codes)
-            results[g] = self._emit(aln, task.names, task.aa_seqs)
+            n = len(aln.rows)
+            if self.refine_iters and n >= 3:
+                sched = [r for _ in range(self.refine_iters) for r in range(n)]
+                states[g] = [aln, sched, 0]
+            else:
+                results[g] = self._emit(aln, task.names, task.aa_seqs)
+        while states:
+            batch2: List[tuple] = []
+            for g in sorted(states):
+                aln, sched, pos = states[g]
+                task = tasks[g]
+                r = sched[pos]
+                rows_rest = [i for i in range(len(aln.rows)) if i != r]
+                rest = self._strip_empty(_Alignment(
+                    [aln.rows[i] for i in rows_rest], aln.cols[rows_rest]
+                ))
+                solo_idx = aln.rows[r]
+                L = len(task.aa_codes[solo_idx])
+                solo = _Alignment([solo_idx], np.arange(L, dtype=np.int32)[None, :])
+                S = self._score_matrix(rest, solo, task.aa_codes, task.ss_codes)
+                batch2.append((g, rest, solo, S))
+            paths = nw_align_batch([b[3] for b in batch2], self.go_q, self.ge_q)
+            profiling.add_counter(
+                "msa.cells", float(sum(b[3].shape[0] * b[3].shape[1] for b in batch2))
+            )
+            for (g, rest, solo, _), (path, _) in zip(batch2, paths):
+                task = tasks[g]
+                st = states[g]
+                merged = self._strip_empty(_merge(rest, solo, path))
+                prev = st[0]
+                order = np.argsort([merged.rows.index(x) for x in prev.rows])
+                st[0] = _Alignment([merged.rows[i] for i in order], merged.cols[order])
+                st[2] += 1
+                if st[2] >= len(st[1]):
+                    results[g] = self._emit(st[0], task.names, task.aa_seqs)
+                    del states[g]
         profiling.add_counter("msa.seconds", __import__("time").time() - t0)
         return results
 
@@ -259,16 +310,11 @@ class ProgressiveMSA:
     def _emit(aln: _Alignment, names: List[str], aa_seqs: List[str]) -> Dict[str, str]:
         out: Dict[str, str] = {}
         by_row = {sidx: r for r, sidx in enumerate(aln.rows)}
-        L = aln.cols.shape[1]
         for sidx in range(len(names)):
-            r = by_row[sidx]
-            seq = aa_seqs[sidx]
-            chars = ["-"] * L
-            idx = aln.cols[r]
-            for c in range(L):
-                if idx[c] >= 0:
-                    chars[c] = seq[idx[c]]
-            out[names[sidx]] = "".join(chars)
+            idx = aln.cols[by_row[sidx]]
+            seq_b = np.frombuffer(aa_seqs[sidx].encode(), dtype=np.uint8)
+            chars = np.where(idx >= 0, seq_b[np.clip(idx, 0, None)], ord("-"))
+            out[names[sidx]] = chars.astype(np.uint8).tobytes().decode()
         return out
 
     def probe(self) -> bool:

@@ -25,7 +25,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from unicore_tpu.io import fasta
-from unicore_tpu.phylo.bootstrap import rell_supports
 from unicore_tpu.phylo.likelihood import (
     LikelihoodEngine,
     arrays_to_tree,
@@ -75,23 +74,9 @@ class TreeEngine:
         blen_steps: int = 150,
     ) -> Tuple[Node, float, Dict]:
         """Run inference; returns (tree_with_supports, lnL, info)."""
-        opts = _parse_tokens(options)
-        if self.schedule == "iqtree":
-            model_str = model_str or opts.get("-m", "JTT+F+I+G")
-            n_boot = n_boot if n_boot is not None else int(opts.get("-B", opts.get("-bb", "0")) or 0)
-        elif self.schedule == "raxml-ng":
-            model_str = model_str or opts.get("--model", "JTT+F+I+G")
-            seed = int(opts.get("--seed", seed) or seed)
-            n_boot = n_boot if n_boot is not None else (1000 if "--all" in opts else 0)
-            n_starts = max(n_starts, 3)
-        elif self.schedule == "fasttree":
-            model_str = model_str or ("JTT+F+G" if "-gamma" in opts else "JTT+F")
-            n_boot = n_boot if n_boot is not None else int(opts.get("-boot", "0") or 0)
-            max_nni_rounds = min(max_nni_rounds, 10)
-        else:
-            model_str = model_str or "JTT+F+I+G"
-            n_boot = n_boot or 0
-
+        opts, model_str, n_boot, seed, n_starts, max_nni_rounds = self._parse_opts(
+            options, model_str, n_boot, seed, n_starts, max_nni_rounds
+        )
         partition_file = opts.get("-p") or opts.get("-q")
         names = list(msa.keys())
         seqs = [msa[n] for n in names]
@@ -174,6 +159,158 @@ class TreeEngine:
         return unroot(best_tree), best_ll, info
 
     # ------------------------------------------------------------------
+    def _parse_opts(self, options, model_str, n_boot, seed, n_starts, max_nni_rounds):
+        """Per-schedule option resolution (shared by infer/infer_batched)."""
+        opts = _parse_tokens(options)
+        if self.schedule == "iqtree":
+            model_str = model_str or opts.get("-m", "JTT+F+I+G")
+            n_boot = n_boot if n_boot is not None else int(opts.get("-B", opts.get("-bb", "0")) or 0)
+        elif self.schedule == "raxml-ng":
+            model_str = model_str or opts.get("--model", "JTT+F+I+G")
+            seed = int(opts.get("--seed", seed) or seed)
+            n_boot = n_boot if n_boot is not None else (1000 if "--all" in opts else 0)
+            n_starts = max(n_starts, 3)
+        elif self.schedule == "fasttree":
+            model_str = model_str or ("JTT+F+G" if "-gamma" in opts else "JTT+F")
+            n_boot = n_boot if n_boot is not None else int(opts.get("-boot", "0") or 0)
+            max_nni_rounds = min(max_nni_rounds, 10)
+        else:
+            model_str = model_str or "JTT+F+I+G"
+            n_boot = n_boot or 0
+        return opts, model_str, n_boot, seed, n_starts, max_nni_rounds
+
+    # ------------------------------------------------------------------
+    def _trivial_tree(self, names: List[str], seqs: List[str]) -> Tuple[Node, float, Dict]:
+        if len(names) < 2:
+            t = Node()
+            for n in names:
+                t.add(Node(n, 0.0))
+            return t, 0.0, {"n_taxa": len(names)}
+        D = protein_distances(names, seqs)
+        t = Node()
+        t.add(Node(names[0], D[0, 1] / 2))
+        t.add(Node(names[1], D[0, 1] / 2))
+        return t, 0.0, {"n_taxa": 2}
+
+    # ------------------------------------------------------------------
+    def infer_batched(
+        self,
+        msas: List[Dict[str, str]],
+        options: str = "",
+        seed: int = 12345,
+        n_starts: int = 1,
+        max_nni_rounds: int = 20,
+        blen_steps: int = 150,
+    ) -> List[Tuple[Node, float, Dict]]:
+        """Batched gene-tree inference (genetree.rs:113-143 hot loop).
+
+        Genes are grouped by (taxa count, pattern bucket); each group
+        shares one compiled program set and runs its NNI searches in
+        LOCKSTEP with cross-gene candidate batching (phylo/genebatch.py).
+        Big genes (>= 48 taxa) and partitioned runs fall back to the
+        per-gene `infer` (its incremental partial-CLV path wins there).
+        Results per gene are identical in expectation to solo `infer`
+        (same search schedule, accept logic, bootstrap pool — asserted
+        topology-identical on fixtures in tests/test_genetree_batched.py).
+        """
+        from unicore_tpu.phylo.genebatch import (
+            lockstep_optimize, pattern_bucket,
+        )
+        from unicore_tpu.phylo.likelihood import compress_patterns
+
+        opts, model_str, n_boot, seed, n_starts, max_nni_rounds = self._parse_opts(
+            options, None, None, seed, n_starts, max_nni_rounds
+        )
+        results: List[Optional[Tuple[Node, float, Dict]]] = [None] * len(msas)
+
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        prepped: Dict[int, tuple] = {}
+        for g, msa in enumerate(msas):
+            names = list(msa.keys())
+            seqs = [msa[n] for n in names]
+            if len(names) < 3:
+                results[g] = self._trivial_tree(names, seqs)
+                continue
+            if len(names) >= 48:
+                results[g] = self.infer(
+                    msa, options=options, seed=seed, n_starts=n_starts,
+                    max_nni_rounds=max_nni_rounds, blen_steps=blen_steps,
+                )
+                continue
+            codes = msa_to_codes(names, seqs)
+            P = compress_patterns(codes)[0].shape[1]
+            key = (len(names), pattern_bucket(P))
+            groups.setdefault(key, []).append(g)
+            prepped[g] = (names, seqs, codes)
+
+        spec = ModelSpec.parse(model_str)
+        for (n, bucket), gidx in sorted(groups.items()):
+            t0 = time.time()
+            engines, searches, starts = [], [], []
+            specs_freqs = []
+            for g in gidx:
+                names, seqs, codes = prepped[g]
+                freqs = empirical_frequencies(codes)
+                model = SubstModel.build(
+                    spec, empirical_freqs=freqs, alpha=1.0,
+                    p_inv=0.02 if spec.plus_i else 0.0,
+                )
+                eng = LikelihoodEngine(names, seqs, model, pad_patterns_to=bucket)
+                engines.append(eng)
+                searches.append(TreeSearch(eng, seed=seed))
+                D = protein_distances(names, seqs)
+                starts.append(neighbor_joining(D, names))
+                specs_freqs.append(freqs)
+            msg.println_message(
+                f"  gene group: {len(gidx)} genes, {n} taxa, bucket {bucket}", 4
+            )
+            res = lockstep_optimize(
+                engines, searches, starts,
+                max_rounds=max_nni_rounds, blen_steps=blen_steps,
+            )
+            if spec.plus_g or spec.plus_i:
+                # per-gene model optimization, then one more lockstep pass
+                for i, g in enumerate(gidx):
+                    self._optimize_model(
+                        engines[i], searches[i], spec, specs_freqs[i], res[i][0]
+                    )
+                res = lockstep_optimize(
+                    engines, searches, [r[0] for r in res],
+                    max_rounds=max_nni_rounds, blen_steps=blen_steps,
+                )
+            for s in range(1, n_starts):
+                perturbed = [
+                    searches[i].perturb(res[i][0], n_moves=2 + s)
+                    for i in range(len(gidx))
+                ]
+                res2 = lockstep_optimize(
+                    engines, searches, perturbed,
+                    max_rounds=max_nni_rounds, blen_steps=blen_steps,
+                )
+                res = [r2 if r2[1] > r[1] else r for r, r2 in zip(res, res2)]
+            secs = time.time() - t0
+            for i, g in enumerate(gidx):
+                best_tree, best_ll = res[i]
+                eng = engines[i]
+                info = {
+                    "n_taxa": n,
+                    "n_sites": eng.L,
+                    "n_patterns": eng.n_patterns_real,
+                    "n_partitions": 1,
+                    "lnL": best_ll,
+                    "alpha": eng.model.alpha,
+                    "p_inv": eng.model.p_inv,
+                    "model": model_str,
+                    "seconds": secs / len(gidx),
+                }
+                if n_boot and n >= 4:
+                    best_tree = self._bootstrap(
+                        eng, searches[i], best_tree, n_boot, seed
+                    )
+                results[g] = (unroot(best_tree), best_ll, info)
+        return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
     def _optimize_model(self, engine, search, spec, freqs, tree) -> SubstModel:
         """Coordinate golden-section over alpha (and p_inv)."""
         from unicore_tpu.phylo.likelihood import make_root_binary, tree_to_arrays
@@ -208,52 +345,14 @@ class TreeEngine:
     # ------------------------------------------------------------------
     def _bootstrap(self, engine, search, best_tree, n_boot, seed,
                    n_walks: int = 256) -> Node:
-        from unicore_tpu.phylo.likelihood import make_root_binary, tree_to_arrays
-        from unicore_tpu.phylo.newick import bipartitions
-        from unicore_tpu.phylo.search import (
-            copy_tree, nni_neighbors, random_nni_walk,
-        )
+        """True per-replicate bootstrap (`-B 1000` UFBoot semantics,
+        tree.rs:143): every replicate runs its own weighted NNI climb
+        from the ML tree (phylo/bootstrap.py::ufboot_supports).  The
+        round-2 pool-RELL (fixed candidate set) is gone — splits outside
+        a sampled pool could never lose there."""
+        from unicore_tpu.phylo.bootstrap import ufboot_supports
 
-        # Candidate set (UFBoot-style): topologies visited during search,
-        # the final tree's full NNI neighborhood, and a few hundred
-        # random NNI walks of depth 1-5 from the final tree — a diverse
-        # sample of the topology neighborhood so trivial splits can
-        # actually LOSE replicates (all-100 supports were the symptom of
-        # the old thin set).  Deduplicated by bipartition sets; scored in
-        # one vmapped batch per chunk.
-        visited = search.visited[-48:]
-        rooted_best = make_root_binary(copy_tree(best_tree))
-        cb, bb = tree_to_arrays(rooted_best, engine.names)
-        visited = visited + [(cb, bb, 0.0)]
-        for t in nni_neighbors(rooted_best):
-            visited.append(tree_to_arrays(t, engine.names) + (0.0,))
-        rng = np.random.RandomState(seed ^ 0x5EED)
-        for w in range(n_walks):
-            t = random_nni_walk(rooted_best, rng, 1 + w % 5)
-            visited.append(tree_to_arrays(t, engine.names) + (0.0,))
-
-        cands: List[Node] = []
-        arr_c: List[np.ndarray] = []
-        arr_b: List[np.ndarray] = []
-        seen = set()
-        for children, blens, _ in visited:
-            t = arrays_to_tree(children, blens, engine.names)
-            key = frozenset(bipartitions(t).keys())
-            if key in seen:
-                continue
-            seen.add(key)
-            cands.append(t)
-            arr_c.append(children)
-            arr_b.append(blens)
-        if hasattr(engine, "site_loglik_batch"):
-            sl = engine.site_loglik_batch(np.stack(arr_c), np.stack(arr_b))
-        else:
-            sl = np.stack([engine.site_loglik(c, b) for c, b in zip(arr_c, arr_b)])
-        msg.println_message(f"  bootstrap over {len(cands)} candidate topologies", 4)
-        return rell_supports(
-            best_tree, cands, sl, np.asarray(engine.weights, dtype=np.float64),
-            n_reps=n_boot, seed=seed,
-        )
+        return ufboot_supports(engine, best_tree, n_boot=n_boot, seed=seed)
 
     # ------------------------------------------------------------------
     def run_file(
@@ -262,6 +361,23 @@ class TreeEngine:
         """File-level entry with the per-builder output conventions."""
         msa = fasta.read_fasta(msa_fasta)
         tree, ll, info = self.infer(msa, options=options)
+        return self._write_outputs(tree, info, output_dir)
+
+    def run_files(
+        self, msa_fastas: List[str], output_dirs: List[str],
+        options: str = "", threads: int = 0,
+    ) -> List[str]:
+        """Batched file-level entry: one `infer_batched` call over every
+        gene MSA (shared compiles + lockstep search), per-gene outputs in
+        the same per-builder conventions as `run_file`."""
+        msas = [fasta.read_fasta(p) for p in msa_fastas]
+        results = self.infer_batched(msas, options=options)
+        return [
+            self._write_outputs(tree, info, od)
+            for (tree, _ll, info), od in zip(results, output_dirs)
+        ]
+
+    def _write_outputs(self, tree: Node, info: Dict, output_dir: str) -> str:
         os.makedirs(output_dir, exist_ok=True)
         if self.schedule == "iqtree":
             out = os.path.join(output_dir, "iqtree.treefile")

@@ -1,0 +1,172 @@
+"""Batched gene-tree inference: many genes, one compiled program set.
+
+The reference's `gene-tree` runs a full IQ-TREE process per gene
+(genetree.rs:113-143) — hundreds of independent searches.  Here genes are
+grouped by (taxa count, pattern bucket) so every jitted evaluator
+(topology batch, branch-length optimizer, RELL scorer) compiles ONCE per
+group, and the NNI hill-climbs of all genes in a group advance in
+LOCKSTEP: each round stacks every active gene's candidate topologies into
+a single (G, K, ...) device dispatch (`_loglik_multi_impl` — vmap over
+genes of the per-gene candidate vmap).
+
+The accept/stop logic per gene mirrors TreeSearch.optimize exactly (the
+non-incremental branch; genes at n >= 48 taxa keep the per-gene
+partial-CLV path which is asymptotically better), so lockstep results
+match the solo search (tested in tests/test_genetree_batched.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unicore_tpu.phylo.likelihood import (
+    LikelihoodEngine,
+    _loglik_core,
+    arrays_to_tree,
+    make_root_binary,
+    tree_to_arrays,
+)
+from unicore_tpu.phylo.newick import Node
+from unicore_tpu.phylo.search import TreeSearch, copy_tree, nni_neighbors
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa",))
+def _loglik_multi_impl(
+    children_gk, blens_gk, tips_g, weights_g, eigvals_g, U_g, Uinv_g, pi_g,
+    rates_g, props_g, n_taxa,
+):
+    """(G, K) log-likelihoods: vmap over genes of vmap over candidates.
+
+    Per-gene model tensors ride the gene axis (each gene has its own
+    empirical frequencies / alpha)."""
+
+    def per_gene(children_k, blens_k, tips, weights, eigvals, U, Uinv, pi, rates, props):
+        def per_cand(c, b):
+            return _loglik_core(
+                c, b, tips, weights, eigvals, U, Uinv, pi, rates, props, n_taxa
+            )
+        return jax.vmap(per_cand)(children_k, blens_k)
+
+    return jax.vmap(per_gene)(
+        children_gk, blens_gk, tips_g, weights_g, eigvals_g, U_g, Uinv_g,
+        pi_g, rates_g, props_g,
+    )
+
+
+class _GeneSearchState:
+    __slots__ = ("engine", "search", "children", "blens", "ll", "active", "rounds")
+
+    def __init__(self, engine: LikelihoodEngine, search: TreeSearch,
+                 start: Node, blen_steps: int):
+        self.engine = engine
+        self.search = search
+        root = make_root_binary(copy_tree(start))
+        children, blens = tree_to_arrays(root, engine.names)
+        self.blens, self.ll = engine.optimize_blens(children, blens, steps=blen_steps)
+        self.children = children
+        search.visited.append((children.copy(), np.asarray(self.blens).copy(), self.ll))
+        self.active = True
+        self.rounds = 0
+
+
+def _stack_model(states: List[_GeneSearchState]):
+    keys = ("eigvals", "U", "Uinv", "pi", "rates", "props")
+    return {k + "_g": jnp.stack([s.engine._mp[k] for s in states]) for k in keys}
+
+
+def lockstep_optimize(
+    engines: List[LikelihoodEngine],
+    searches: List[TreeSearch],
+    starts: List[Node],
+    max_rounds: int = 20,
+    blen_steps: int = 150,
+) -> List[Tuple[Node, float]]:
+    """NNI hill-climb for genes sharing (n_taxa, pattern bucket), with
+    candidate evaluation batched across genes each round.  Accept logic
+    per gene is TreeSearch.optimize's (full-batch branch)."""
+    n = engines[0].n
+    states = [
+        _GeneSearchState(e, s, t, blen_steps)
+        for e, s, t in zip(engines, searches, starts)
+    ]
+
+    while True:
+        live = [s for s in states if s.active]
+        if not live:
+            break
+        # candidate batches; same n_taxa => same candidate count per gene
+        cand: List[Tuple[_GeneSearchState, np.ndarray, np.ndarray]] = []
+        K = 0
+        for s in live:
+            root = arrays_to_tree(s.children, s.blens, s.engine.names)
+            cs = nni_neighbors(root)
+            if not cs:
+                s.active = False
+                continue
+            arr = [tree_to_arrays(c, s.engine.names) for c in cs]
+            cb = np.stack([a[0] for a in arr])
+            bb = np.stack([a[1] for a in arr])
+            cand.append((s, cb, bb))
+            K = max(K, cb.shape[0])
+        if not cand:
+            break
+        K_pad = -(-K // 32) * 32
+        cbs, bbs = [], []
+        for _, cb, bb in cand:
+            if cb.shape[0] < K_pad:
+                cb = np.concatenate([cb, np.repeat(cb[:1], K_pad - cb.shape[0], 0)])
+                bb = np.concatenate([bb, np.repeat(bb[:1], K_pad - bb.shape[0], 0)])
+            cbs.append(cb)
+            bbs.append(bb)
+        gs = [c[0] for c in cand]
+        lls = np.asarray(_loglik_multi_impl(
+            jnp.asarray(np.stack(cbs)), jnp.asarray(np.stack(bbs), jnp.float32),
+            jnp.stack([s.engine.tips for s in gs]),
+            jnp.stack([s.engine.w for s in gs]),
+            n_taxa=n, **_stack_model(gs),
+        ))
+        for (s, cb, bb), ll_k in zip(cand, lls):
+            n_real = cb.shape[0]
+            ll_k = ll_k[:n_real]
+            best = int(np.argmax(ll_k))
+            eng = s.engine
+            if ll_k[best] <= s.ll + 1e-4:
+                nb, nll = eng.optimize_blens(cb[best], bb[best], steps=blen_steps)
+                if nll > s.ll + 1e-4:
+                    s.children, s.blens, s.ll = cb[best], nb, nll
+                    s.search.visited.append(
+                        (s.children.copy(), np.asarray(s.blens).copy(), s.ll)
+                    )
+                else:
+                    s.active = False
+            else:
+                children, blens = cb[best], bb[best]
+                blens, ll = eng.optimize_blens(children, blens, steps=blen_steps)
+                s.children, s.blens, s.ll = children, blens, ll
+                s.search.visited.append(
+                    (s.children.copy(), np.asarray(s.blens).copy(), s.ll)
+                )
+            s.rounds += 1
+            if s.rounds >= max_rounds:
+                s.active = False
+
+    out = []
+    for s in states:
+        final = arrays_to_tree(s.children, s.blens, s.engine.names)
+        s.search._final = (s.children, s.blens, s.ll)
+        out.append((final, s.ll))
+    return out
+
+
+def pattern_bucket(p: int) -> int:
+    """Pattern-count bucket: next power of two (min 64) — one compile of
+    every shape-keyed evaluator per (n_taxa, bucket) group."""
+    b = 64
+    while b < p:
+        b *= 2
+    return b

@@ -261,10 +261,22 @@ def _loglik_batch_impl(
 class LikelihoodEngine:
     """Holds device-resident alignment tensors + model; evaluates trees."""
 
-    def __init__(self, names: List[str], seqs: List[str], model: SubstModel):
+    def __init__(self, names: List[str], seqs: List[str], model: SubstModel,
+                 pad_patterns_to: int = 0):
         self.names = list(names)
         codes = msa_to_codes(names, seqs)
         patterns, weights = compress_patterns(codes)
+        self.n_patterns_real = patterns.shape[1]
+        if pad_patterns_to > patterns.shape[1]:
+            # zero-weight all-unknown pad columns: identical lnL, but the
+            # jitted evaluators compile once per (n_taxa, P_bucket) shape
+            # and are shared across genes (batched gene-tree inference)
+            padn = pad_patterns_to - patterns.shape[1]
+            patterns = np.concatenate(
+                [patterns, np.full((patterns.shape[0], padn), 20, patterns.dtype)],
+                axis=1,
+            )
+            weights = np.concatenate([weights, np.zeros(padn, weights.dtype)])
         self.n = len(names)
         self.patterns = patterns
         self.weights = weights.astype(np.float32)
