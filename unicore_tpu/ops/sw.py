@@ -192,6 +192,7 @@ def _sw_kernel(
     dp_dtype=jnp.float32,
     ungapped: bool = False,
     unroll: int = 8,
+    score_rows: int = 0,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
@@ -243,50 +244,59 @@ def _sw_kernel(
         bb_ref[:] = jnp.zeros((BT, LT), dp_dtype)
         br_ref[:] = jnp.zeros((BT, LT), ridx_dtype)
 
-    # ---- score block for this (b, r) ----
+    # ---- score sub-blocks for this (b, r) ----
     # Per-pair target profiles are rebuilt per row-block (cheap MXU work)
     # instead of persisting in VMEM — the freed memory buys a larger BT,
-    # which shortens the serial DP chain per cell.
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (RB, SEG * 64), 1)
-    irow = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 0) + r * RB
-    colr = jax.lax.broadcasted_iota(jnp.int32, (RB, LT), 1)
-    colr_seg = colr // SEG_L
-    colr_local = colr & (SEG_L - 1)
-    arow = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 0)
-    acol = jax.lax.broadcasted_iota(jnp.int32, (NA, LT), 1)
-    saa = saa_ref[:NA, :NA]
-    s3d = s3d_ref[:NA, :NA]
-    for bb in range(BT):
-        ta_row = ta_ref[bb, :][None, :]
-        ts_row = ts_ref[bb, :][None, :]
-        oh = jnp.zeros((RB, SEG * 64), jnp.bool_)
-        valid = jnp.zeros((RB, LT), jnp.bool_)
-        profs = []
-        for s in range(SEG):
-            segm = (acol // SEG_L) == s
-            oh_a = ((ta_row == arow) & segm).astype(jnp.bfloat16)
-            oh_s = ((ts_row == arow) & segm).astype(jnp.bfloat16)
-            # integer-valued entries (< 256) -> exact in bf16
-            pa = jnp.dot(saa, oh_a.astype(jnp.float32), preferred_element_type=jnp.float32) * w_aa
-            ps = jnp.dot(s3d, oh_s.astype(jnp.float32), preferred_element_type=jnp.float32) * w_3di
-            profs.append(pa.astype(jnp.bfloat16))
-            profs.append(ps.astype(jnp.bfloat16))
-            qa = qa_ref[bb, s, :][:, None]  # (RB, 1)
-            qs = qs_ref[bb, s, :][:, None]
-            # channel blocks are padded to 32 rows each: AA at s*64, 3Di at s*64+32
-            oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + 32)
-            pidx = (b * BT + bb) * SEG + s
-            ql = qlen_ref[pidx]
-            tl = tlen_ref[pidx]
-            valid = valid | ((colr_seg == s) & (irow < ql) & (colr_local < tl))
-        # pad each (NA, LT) channel block to 32 rows -> (SEG*64, LT)
-        prof = jnp.concatenate(
-            [jnp.pad(pp, ((0, 32 - NA), (0, 0))) for pp in profs], axis=0
-        )
-        blk = jnp.dot(
-            oh.astype(jnp.bfloat16), prof, preferred_element_type=jnp.float32
-        )
-        sc_ref[bb, :, :] = jnp.where(valid, blk, -20000.0).astype(sc_ref.dtype)
+    # which shortens the serial DP chain per cell.  `score_rows` (SR)
+    # further sub-blocks the score scratch below the 128-row grid block:
+    # scores for SR rows are built, their DP rows run, then the next SR
+    # rows overwrite the same scratch — the scratch shrinks RB/SR-fold,
+    # buying a second doubling of BT (VMEM budget: sc = BT*SR*LT*2B).
+    SR = score_rows or RB
+    nsub = RB // SR
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (SR, SEG * 64), 1)
+    # Sentinel-by-PAD-code: the host remaps every beyond-length position
+    # of all four code arrays to PAD (= NA); the substitution matrices
+    # carry a pad row/column of -2048 per channel, so any cell touching a
+    # pad position scores -2048*(w_aa + w_3di) <= -20000 straight out of
+    # the MXU matmul.  The old per-pair validity mask (5 vector ops on
+    # (SR, LT) per pair per block: ~15% of total VPU work) disappears.
+    NA2 = NA + 1  # 22: letters + X + PAD
+    arow = jax.lax.broadcasted_iota(jnp.int32, (NA2, LT), 0)
+    acol = jax.lax.broadcasted_iota(jnp.int32, (NA2, LT), 1)
+    saa = saa_ref[:NA2, :NA2]
+    s3d = s3d_ref[:NA2, :NA2]
+
+    def build_scores_sub(sub: int):
+        for bb in range(BT):
+            ta_row = ta_ref[bb, :][None, :]
+            ts_row = ts_ref[bb, :][None, :]
+            oh = jnp.zeros((SR, SEG * 64), jnp.bool_)
+            profs = []
+            for s in range(SEG):
+                segm = (acol // SEG_L) == s
+                oh_a = ((ta_row == arow) & segm).astype(jnp.bfloat16)
+                oh_s = ((ts_row == arow) & segm).astype(jnp.bfloat16)
+                # integer-valued entries (< 256, plus the pad -2048 =
+                # -16*128) -> exact in bf16
+                pa = jnp.dot(saa, oh_a.astype(jnp.float32), preferred_element_type=jnp.float32) * w_aa
+                ps = jnp.dot(s3d, oh_s.astype(jnp.float32), preferred_element_type=jnp.float32) * w_3di
+                profs.append(pa.astype(jnp.bfloat16))
+                profs.append(ps.astype(jnp.bfloat16))
+                # static SR-row sublane slice of the block's query codes
+                # (sub is a Python int; offsets stay 8-aligned for Mosaic)
+                qa = qa_ref[bb, s, :][:, None][sub * SR : (sub + 1) * SR]
+                qs = qs_ref[bb, s, :][:, None][sub * SR : (sub + 1) * SR]
+                # channel blocks are padded to 32 rows each: AA at s*64, 3Di at s*64+32
+                oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + 32)
+            # pad each (NA2, LT) channel block to 32 rows -> (SEG*64, LT)
+            prof = jnp.concatenate(
+                [jnp.pad(pp, ((0, 32 - NA2), (0, 0))) for pp in profs], axis=0
+            )
+            blk = jnp.dot(
+                oh.astype(jnp.bfloat16), prof, preferred_element_type=jnp.float32
+            )
+            sc_ref[bb, :, :] = blk.astype(sc_ref.dtype)
 
     # ---- DP rows ----
     # The row recurrence is serial, so the loop is latency-bound: Mosaic's
@@ -297,7 +307,7 @@ def _sw_kernel(
     # newer Mosaic rejects dynamic single-row indexes into the sublane dim
     # (must be provably 8-aligned), and the block load is faster anyway.
     UNROLL = unroll
-    assert RB % UNROLL == 0
+    assert SR % UNROLL == 0
 
     if int_dp:
         goc, gec = jnp.int16(int(go)), jnp.int16(int(ge))
@@ -342,31 +352,36 @@ def _sw_kernel(
         BRv = jnp.where(upd, i_global.astype(ridx_dtype), BRv)
         return H, F, BBv, BRv
 
-    def row_body(iu, _):
-        # `chains` independent DP streams (disjoint sublane halves of the
-        # batch tile) are advanced in lockstep: the scheduler can overlap
-        # one chain's dependent-op latency with the other's issue slots.
-        i0 = pl.multiple_of(iu * UNROLL, UNROLL)
-        s_blk = sc_ref[:, pl.ds(i0, UNROLL), :].astype(dp_dtype)
-        st = []
-        for c in range(chains):
-            sl = pl.ds(c * CB, CB)
-            st.append((h_ref[sl], f_ref[sl], bb_ref[sl], br_ref[sl]))
-        for u in range(UNROLL):
-            nxt = []
+    def make_row_body(sub: int):
+        def row_body(iu, _):
+            # `chains` independent DP streams (disjoint sublane halves of
+            # the batch tile) are advanced in lockstep: the scheduler can
+            # overlap one chain's dependent-op latency with the other's
+            # issue slots.
+            i0 = pl.multiple_of(iu * UNROLL, UNROLL)
+            s_blk = sc_ref[:, pl.ds(i0, UNROLL), :].astype(dp_dtype)
+            st = []
+            for c in range(chains):
+                sl = pl.ds(c * CB, CB)
+                st.append((h_ref[sl], f_ref[sl], bb_ref[sl], br_ref[sl]))
+            for u in range(UNROLL):
+                nxt = []
+                for c, (H, F, BBv, BRv) in enumerate(st):
+                    s_row = s_blk[c * CB : (c + 1) * CB, u, :]  # (CB, LT)
+                    nxt.append(one_row(r * RB + sub * SR + i0 + u, H, F, s_row, BBv, BRv))
+                st = nxt
             for c, (H, F, BBv, BRv) in enumerate(st):
-                s_row = s_blk[c * CB : (c + 1) * CB, u, :]  # (CB, LT)
-                nxt.append(one_row(r * RB + i0 + u, H, F, s_row, BBv, BRv))
-            st = nxt
-        for c, (H, F, BBv, BRv) in enumerate(st):
-            sl = pl.ds(c * CB, CB)
-            h_ref[sl] = H
-            f_ref[sl] = F
-            bb_ref[sl] = BBv
-            br_ref[sl] = BRv
-        return 0
+                sl = pl.ds(c * CB, CB)
+                h_ref[sl] = H
+                f_ref[sl] = F
+                bb_ref[sl] = BBv
+                br_ref[sl] = BRv
+            return 0
+        return row_body
 
-    jax.lax.fori_loop(0, RB // UNROLL, row_body, 0)
+    for sub in range(nsub):
+        build_scores_sub(sub)
+        jax.lax.fori_loop(0, SR // UNROLL, make_row_body(sub), 0)
 
     @pl.when(r == pl.num_programs(1) - 1)
     def _emit():
@@ -407,7 +422,7 @@ def _pick_segments(Lt: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype", "ungapped", "unroll",
+        "go", "ge", "w_aa", "w_3di", "block_rows", "batch_tile", "interpret", "segments", "score_dtype", "gap_window", "chains", "dp_dtype", "ungapped", "unroll", "score_rows",
     ),
 )
 def sw_forward_pallas(
@@ -446,21 +461,29 @@ def sw_forward_pallas(
                              # prefilter and gapped SW
     unroll: int = 8,  # DP rows per fori_loop iteration (loop-overhead
                       # amortization; must divide block_rows)
+    score_rows: int = 0,  # score-scratch rows (SR): scores are built and
+                          # consumed SR rows at a time, shrinking the
+                          # dominant VMEM scratch RB/SR-fold so the batch
+                          # tile can grow past 64.  0 = RB (legacy).
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
     SEG = segments or _pick_segments(Lt)
+    rb_eff = Lq if Lq <= block_rows else block_rows
+    SR = score_rows or rb_eff
+    if SR > rb_eff:
+        SR = rb_eff
     if batch_tile:
         BT = batch_tile
     else:
-        # score scratch (BT, RB, SEG*Lt) is the VMEM driver; keep it
+        # score scratch (BT, SR, SEG*Lt) is the VMEM driver; keep it
         # within ~8 MB so DP state + double-buffered inputs still fit
         sc_bytes = 2 if score_dtype == "bf16" else 4
-        rb = Lq if Lq <= block_rows else block_rows
-        # cap at 64: measured 1.7x over BT=32 (latency-bound chain shares
-        # more pairs per vector op; BENCH_NOTES round 2); compile ~11 s,
-        # cached.  Larger tiles exhaust VMEM (sc scratch = BT*RB*LTK*2).
-        BT = max(8, min(64, (12 * 1024 * 1024 // (rb * SEG * Lt * sc_bytes)) // 8 * 8))
+        # cap at 64 when SR == RB (legacy config); sub-blocked scores
+        # (SR < RB) shrink the scratch and raise the cap (tuned on-chip,
+        # BENCH_NOTES round 3)
+        cap = 64 if SR == rb_eff else 128
+        BT = max(8, min(cap, (12 * 1024 * 1024 // (SR * SEG * Lt * sc_bytes)) // 8 * 8))
     # pad the pair count so it reshapes into (Brows, SEG) packed rows
     pad_to = BT * SEG
     Bp = ((B + pad_to - 1) // pad_to) * pad_to
@@ -476,6 +499,19 @@ def sw_forward_pallas(
     Brows = Bp // SEG
     LTK = Lt * SEG  # packed lane width
 
+    # remap every beyond-length position to PAD = NA (kernel contract:
+    # pad rows/cols of the padded substitution matrices score the masked
+    # -2048-per-channel sentinel straight from the MXU)
+    PAD = NA
+    colq = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    colt = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    qmask = colq < qlen[:, None]
+    tmask = colt < tlen[:, None]
+    qa = jnp.where(qmask, qa, PAD)
+    qs = jnp.where(qmask, qs, PAD)
+    ta = jnp.where(tmask, ta, PAD)
+    ts = jnp.where(tmask, ts, PAD)
+
     # pack: pair p -> (row p // SEG, segment p % SEG)
     qa_p = qa.reshape(Brows, SEG, Lq)
     qs_p = qs.reshape(Brows, SEG, Lq)
@@ -488,8 +524,19 @@ def sw_forward_pallas(
     assert Brows % BT == 0 and Lq % RB == 0 and Lt % 128 == 0
     assert RB == Lq or RB % 128 == 0
 
+    # Matrices carry a PAD row/column (code NA = 21) of -2048 per channel:
+    # any cell touching a pad position scores -2048*(w_aa + w_3di) — the
+    # masked-cell sentinel — directly from the score matmul (no validity
+    # mask in the kernel).  -2048 = -16*2^7 is bf16-exact; the combined
+    # sentinel must satisfy the cap-coupling bound H_CAP - |s| < |s| and
+    # stay within int16 for the i16 DP path.
+    sent = 2048.0 * (float(w_aa) + float(w_3di))
+    assert 20000.0 <= sent < 32000.0 and 30000 - sent < sent, (w_aa, w_3di)
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
+    saa_p = saa_p.at[PAD, : NA + 1].set(-2048.0).at[: NA + 1, PAD].set(-2048.0)
     s3d_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(s3d.astype(jnp.float32))
+    s3d_p = s3d_p.at[PAD, : NA + 1].set(-2048.0).at[: NA + 1, PAD].set(-2048.0)
+
 
     assert BT % chains == 0 and (BT // chains) % 8 == 0, (BT, chains)
     if dp_dtype == "i16":
@@ -510,12 +557,13 @@ def sw_forward_pallas(
         dp_jdt, ridx_jdt = jnp.int16, jnp.int16
     else:
         dp_jdt, ridx_jdt = jnp.float32, jnp.int32
+    assert RB % SR == 0 and SR % 8 == 0, (RB, SR)
     kernel = functools.partial(
         _sw_kernel,
         BT=BT, RB=RB, LT=LTK, SEG=SEG,
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
         gap_window=gap_window, chains=chains, dp_dtype=dp_jdt,
-        ungapped=ungapped, unroll=unroll,
+        ungapped=ungapped, unroll=unroll, score_rows=SR,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -537,7 +585,7 @@ def sw_forward_pallas(
         scratch_shapes=[
             pltpu.VMEM((BT, LTK), dp_jdt),
             pltpu.VMEM((BT, LTK), dp_jdt),
-            pltpu.VMEM((BT, RB, LTK), jnp.bfloat16 if score_dtype == "bf16" else jnp.float32),
+            pltpu.VMEM((BT, SR, LTK), jnp.bfloat16 if score_dtype == "bf16" else jnp.float32),
             pltpu.VMEM((BT, LTK), dp_jdt),
             pltpu.VMEM((BT, LTK), ridx_jdt),
         ],
