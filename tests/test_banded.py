@@ -231,8 +231,10 @@ def test_engine_distant_long_pairs_match_full_sw():
     for _ in range(2):
         qa, qs, ta, ts, _ = _distant_pair(rng, L=280, shift=25)
         q_aa.append(qa); q_ss.append(qs); t_aa.append(ta); t_ss.append(ts)
-    # one pair where even the sensitive vote finds nothing (full-SW
-    # fallback): an unrelated random target
+    # one pair with NO homology signal at all: an unrelated random
+    # target.  The fallback must NOT burn a full O(Lq*Lt) DP on it
+    # (chance-level pairs pass hashed-bag prefilters by the hundreds at
+    # scale); it scores 0, as foldseek's prefilter would enforce.
     qa = rng.randint(0, 20, 280).astype(np.int32)
     qs = rng.randint(0, 20, 280).astype(np.int32)
     q_aa.append(qa); q_ss.append(qs)
@@ -240,12 +242,17 @@ def test_engine_distant_long_pairs_match_full_sw():
     t_ss.append(rng.randint(0, 20, 300).astype(np.int32))
     pairs = [(i, i) for i in range(3)]
 
+    from unicore_tpu.ops.banded import has_seed_evidence
+    assert has_seed_evidence(q_aa[0], q_ss[0], t_aa[0], t_ss[0])
+    assert not has_seed_evidence(q_aa[2], q_ss[2], t_aa[2], t_ss[2])
+
     full = AlignmentEngine(AlignParams(backend="xla", long_threshold=0))
     band = AlignmentEngine(AlignParams(backend="xla", long_threshold=64))
     # compare raw alignment results (pre-gate): the cliff was scoring
-    # such pairs 0, losing them before any gate ran
+    # the HOMOLOG pairs 0, losing them before any gate ran
     r_full = full._sw_pass([(i, q_aa[i], q_ss[i], t_aa[i], t_ss[i]) for i in range(3)])
     r_band = band._sw_pass([(i, q_aa[i], q_ss[i], t_aa[i], t_ss[i]) for i in range(3)])
-    for k in range(3):
+    for k in range(2):
         assert r_band[k] == r_full[k], (k, r_band[k], r_full[k])
     assert r_full[0][0] > 100  # the homologs really score
+    assert r_band[2] == (0.0, 0, 0)  # chance-level pair dropped cheaply

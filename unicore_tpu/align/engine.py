@@ -343,10 +343,18 @@ class AlignmentEngine:
                 # sensitive seed (3Di-only, then reduced-alphabet AA)
                 # and a doubled band; still-seedless pairs go to full
                 # (unbanded) SW rather than scoring 0.
-                from unicore_tpu.ops.banded import vote_diagonal_sensitive
+                from unicore_tpu.ops.banded import (
+                    has_seed_evidence, vote_diagonal_sensitive,
+                )
                 d0 = vote_diagonal_sensitive(eqa, eqs, eta, ets)
                 if d0 is None:
-                    full_fallback.append((key, eqa, eqs, eta, ets))
+                    # full SW only with chance-corrected seed evidence;
+                    # chance-level pairs score 0 (foldseek's prefilter
+                    # would never let them through to alignment)
+                    if has_seed_evidence(eqa, eqs, eta, ets):
+                        full_fallback.append((key, eqa, eqs, eta, ets))
+                    else:
+                        out[key] = (0.0, 0, 0)
                     continue
                 wide = 1
             LQ = _bucket(len(eqa))

@@ -81,8 +81,14 @@ def vote_diagonal(
 
 def _vote_hist(
     qk: np.ndarray, tk: np.ndarray, Lq: int, Lt: int, max_occ: int, smooth: int,
+    min_votes: int = 1,
 ) -> Optional[int]:
-    """Diagonal histogram vote over exact integer k-mer matches."""
+    """Diagonal histogram vote over exact integer k-mer matches.
+
+    `min_votes`: the winning smoothed window must collect at least this
+    many matches — a single chance match over a small alphabet must not
+    seed a band (the sensitive fallback alphabets have non-negligible
+    random match rates)."""
     if len(qk) == 0 or len(tk) == 0:
         return None
     order = np.argsort(tk, kind="stable")
@@ -99,7 +105,10 @@ def _vote_hist(
     np.add.at(hist, tpos - qpos + Lq, 1)
     win = 2 * smooth + 1
     sm = np.convolve(hist, np.ones(win, dtype=np.int64), mode="same")
-    return int(np.argmax(sm)) - Lq
+    arg = int(np.argmax(sm))
+    if sm[arg] < min_votes:
+        return None
+    return arg - Lq
 
 
 # Murphy-style 10-group reduced AA alphabet (+X): conservative
@@ -147,7 +156,7 @@ def vote_diagonal_sensitive(
     Lq, Lt = len(q_aa), len(t_aa)
     d0 = _vote_hist(
         _plain_kmers(np.asarray(q_ss), 21, 6), _plain_kmers(np.asarray(t_ss), 21, 6),
-        Lq, Lt, max_occ=64, smooth=smooth,
+        Lq, Lt, max_occ=64, smooth=smooth, min_votes=3,
     )
     if d0 is not None:
         return d0
@@ -155,7 +164,42 @@ def vote_diagonal_sensitive(
     tr = REDUCED_AA_GROUPS[np.asarray(t_aa, dtype=np.int64)]
     return _vote_hist(
         _plain_kmers(qr, _NGROUPS, 7), _plain_kmers(tr, _NGROUPS, 7),
-        Lq, Lt, max_occ=64, smooth=smooth,
+        Lq, Lt, max_occ=64, smooth=smooth, min_votes=3,
+    )
+
+
+def _channel_match_excess(qk: np.ndarray, tk: np.ndarray, alpha_pow: float,
+                          max_occ: int = 64) -> bool:
+    """True iff the number of exact k-mer matches exceeds the chance
+    expectation for two random sequences by > 3 sigma (+2 floor)."""
+    if len(qk) == 0 or len(tk) == 0:
+        return False
+    order = np.argsort(tk, kind="stable")
+    cnt = np.searchsorted(tk[order], qk, "right") - np.searchsorted(tk[order], qk, "left")
+    obs = int(np.minimum(cnt, max_occ).sum())
+    exp = len(qk) * len(tk) / alpha_pow
+    return obs > exp + 3.0 * np.sqrt(exp) + 2.0
+
+
+def has_seed_evidence(
+    q_aa: np.ndarray, q_ss: np.ndarray, t_aa: np.ndarray, t_ss: np.ndarray,
+) -> bool:
+    """Chance-corrected homology evidence for pairs whose diagonal votes
+    all failed: do the 3Di or reduced-AA channels share significantly
+    more k-mers than two random sequences would?  Gates the full-SW last
+    resort — without it, every chance-level long candidate pair (hashed
+    bag prefilters pass many at scale) would cost a full O(Lq*Lt) DP.
+    Foldseek's prefilter drops such pairs too."""
+    if _channel_match_excess(
+        _plain_kmers(np.asarray(q_ss), 21, 6), _plain_kmers(np.asarray(t_ss), 21, 6),
+        float(21) ** 6,
+    ):
+        return True
+    qr = REDUCED_AA_GROUPS[np.asarray(q_aa, dtype=np.int64)]
+    tr = REDUCED_AA_GROUPS[np.asarray(t_aa, dtype=np.int64)]
+    return _channel_match_excess(
+        _plain_kmers(qr, _NGROUPS, 7), _plain_kmers(tr, _NGROUPS, 7),
+        float(_NGROUPS) ** 7,
     )
 
 
