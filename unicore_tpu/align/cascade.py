@@ -28,6 +28,21 @@ from unicore_tpu.align.prefilter import DEFAULT_DIM, featurize
 from unicore_tpu.runtime import logging as msg
 
 
+def _canopy_threshold(nrep: int) -> float:
+    """Z-score an assignment must clear, as a function of the number of
+    representatives it competes against.
+
+    The chunk matmul takes a MAX over nrep chance overlaps; the expected
+    maximum of nrep standard normals grows like sqrt(2 ln nrep), so a
+    FIXED threshold drowns in chance matches once thousands of reps
+    exist (measured round 3: at 50K seqs / 1877 reps a fixed cutoff
+    mis-assigned ~87% of members — SW verification rejected them and the
+    cascade degenerated toward one rep per sequence).  True same-family
+    overlaps sit tens of sigma above chance, so the extreme-value guard
+    costs no recall."""
+    return 3.0 + float(np.sqrt(2.0 * np.log(max(nrep, 2))))
+
+
 def canopy_assign(
     aa_seqs: List[str], ss_seqs: List[str],
     dim: int = DEFAULT_DIM, chunk: int = 2048,
@@ -68,15 +83,15 @@ def canopy_assign(
             shared = np.asarray(jnp.dot(jnp.asarray(F), jnp.asarray(R.T)))
             shared = shared[: len(idxs), :nrep]
             expected = kbits[idxs][:, None] * kbits[reps][None, :] / dim
-            excess = shared - expected - 3.0 * np.sqrt(expected + 1.0)
+            z = (shared - expected) / np.sqrt(expected + 1.0)
             # length-ratio bound implied by bidirectional coverage
             lr = (
                 np.minimum(lens[idxs][:, None], lens[reps][None, :])
                 / np.maximum(lens[idxs][:, None], lens[reps][None, :])
             )
-            excess = np.where(lr >= coverage, excess, -1.0)
-            best = np.argmax(excess, axis=1)
-            ok = excess[np.arange(len(idxs)), best] >= 2.0
+            z = np.where(lr >= coverage, z, -np.inf)
+            best = np.argmax(z, axis=1)
+            ok = z[np.arange(len(idxs)), best] >= _canopy_threshold(nrep)
         else:
             ok = np.zeros(len(idxs), bool)
             best = np.zeros(len(idxs), int)
@@ -94,13 +109,13 @@ def canopy_assign(
                 lr_feats = np.stack([feats[r] for r in local_reps])
                 shared_l = lr_feats @ feats[i]
                 expected_l = kbits[i] * kbits[local_reps] / dim
-                excess_l = shared_l - expected_l - 3.0 * np.sqrt(expected_l + 1.0)
+                z_l = (shared_l - expected_l) / np.sqrt(expected_l + 1.0)
                 ratio = np.minimum(lens[i], lens[local_reps]) / np.maximum(
                     lens[i], lens[local_reps]
                 )
-                excess_l = np.where(ratio >= coverage, excess_l, -1.0)
-                bl = int(np.argmax(excess_l))
-                if excess_l[bl] >= 2.0:
+                z_l = np.where(ratio >= coverage, z_l, -np.inf)
+                bl = int(np.argmax(z_l))
+                if z_l[bl] >= _canopy_threshold(len(reps) + len(local_reps)):
                     members[local_reps[bl]].append(int(i))
                     assigned = True
             if not assigned:
@@ -113,39 +128,59 @@ def canopy_assign(
     return reps, members
 
 
-def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
-    """Full cascade; returns ({rep: members}, rep-level hits)."""
-    from unicore_tpu.align.clustering import greedy_set_cover
-    from unicore_tpu.align.engine import AlignmentEngine, encode_db
-    from unicore_tpu.align.prefilter import candidate_pairs
+def build_verify_pairs(cand_members: Dict[int, List[int]]) -> List[Tuple[int, int]]:
+    """Deterministic (member, rep) verification pair list — the unit of
+    work for chunked/recycled verification (sliceable across worker
+    processes; same order regardless of dict insertion history)."""
+    return [(m, r) for r in sorted(cand_members) for m in sorted(cand_members[r])]
 
-    n = len(db)
-    reps, cand_members = canopy_assign(db.aa_seqs, db.ss_seqs, coverage=params.coverage)
-    msg.println_message(f"Cascade: {len(reps)} canopy representatives for {n} sequences", 3)
+
+def verify_chunk(db, pairs: List[Tuple[int, int]], params) -> List[Tuple[int, int]]:
+    """SW-verify a slice of (member, rep) pairs; returns the kept ones.
+
+    Self-contained per call (fresh engine) so a worker process can run
+    exactly one chunk and exit — the client-recycling pattern that
+    bounds host RSS on dev-tunnel relays that retain every transferred
+    buffer (BENCH_NOTES round 2)."""
+    from unicore_tpu.align.engine import AlignmentEngine, encode_db
 
     q_aa, q_ss = encode_db(db.aa_seqs, db.ss_seqs)
     engine = AlignmentEngine(params)
     qlen = np.array([len(a) for a in q_aa])
+    hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
+    kept = {(h.qidx, h.tidx) for h in engine.gate(hits, qlen, qlen)}
+    return [p for p in pairs if p in kept]
 
-    # --- verify (member, rep) assignments with SW ---
-    pairs = [(m, r) for r, ms in cand_members.items() for m in ms]
+
+def apply_verification(
+    reps: List[int], cand_members: Dict[int, List[int]], kept: set
+) -> Dict[int, List[int]]:
+    """Fold kept (member, rep) pairs back into per-rep member lists;
+    unverified members become their own singleton reps (mutates `reps`)."""
     verified: Dict[int, List[int]] = {r: [] for r in reps}
     unassigned: List[int] = []
-    if pairs:
-        hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
-        kept = {(h.qidx, h.tidx) for h in engine.gate(hits, qlen, qlen)}
-        for (m, r) in pairs:
-            if (m, r) in kept:
-                verified[r].append(m)
-            else:
-                unassigned.append(m)
-    # unverified members become their own singletons (round-2 candidates)
+    for m, r in build_verify_pairs(cand_members):
+        if (m, r) in kept:
+            verified[r].append(m)
+        else:
+            unassigned.append(m)
     for m in unassigned:
         verified.setdefault(m, [])
         if m not in reps:
             reps.append(m)
+    return verified
 
-    # --- representative round: normal prefilter + SW + set cover ---
+
+def representative_round(
+    db, reps: List[int], verified: Dict[int, List[int]], params
+) -> Tuple[Dict[int, List[int]], list]:
+    """Prefilter + SW + greedy set cover over the representatives, then
+    members follow their representative into the final clusters."""
+    from unicore_tpu.align.clustering import greedy_set_cover
+    from unicore_tpu.align.engine import AlignmentEngine, encode_db
+    from unicore_tpu.align.prefilter import candidate_pairs
+
+    engine = AlignmentEngine(params)
     rep_aa = [db.aa_seqs[r] for r in reps]
     rep_ss = [db.ss_seqs[r] for r in reps]
     rpairs = candidate_pairs(
@@ -161,7 +196,6 @@ def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
     redges = [(h.qidx, h.tidx) for h in rkept]
     rclusters = greedy_set_cover(len(reps), redges)
 
-    # --- merge: members follow their representative ---
     final: Dict[int, List[int]] = {}
     for rrep_local, rmembers_local in rclusters.items():
         root = reps[rrep_local]
@@ -172,3 +206,15 @@ def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
             out.extend(verified.get(r_global, []))
         final[root] = sorted(set(out))
     return final, rkept
+
+
+def cascaded_cluster(db, params) -> Tuple[Dict[int, List[int]], list]:
+    """Full cascade; returns ({rep: members}, rep-level hits)."""
+    n = len(db)
+    reps, cand_members = canopy_assign(db.aa_seqs, db.ss_seqs, coverage=params.coverage)
+    msg.println_message(f"Cascade: {len(reps)} canopy representatives for {n} sequences", 3)
+
+    pairs = build_verify_pairs(cand_members)
+    kept = set(verify_chunk(db, pairs, params)) if pairs else set()
+    verified = apply_verification(reps, cand_members, kept)
+    return representative_round(db, reps, verified, params)
