@@ -128,16 +128,18 @@ def _utime(pid: int) -> int:
         return 0
 
 
-def _run_watched(cmd, cwd, env, out_path, hard_cap=600.0, stall_window=300.0):
-    """Run `cmd`, killing it only on a genuine stall.
+def _run_watched(cmd, cwd, env, out_path, hard_cap=1800.0, stall_window=300.0):
+    """Run `cmd`, killing it on a genuine stall or at an absolute cap.
 
     A wedged chip claim hangs forever at ~0% CPU with no output; a long
     remote compile is also low-CPU but still accumulates some utime and
-    eventually writes output.  So the kill condition is: no stdout growth
-    AND <0.2 s of CPU accumulated over `stall_window`.  The hard cap only
-    applies while the child looks stalled too — a run that is still
-    making progress (utime growing / output growing) is never killed, so
-    a legitimately long cold compile cannot be mistaken for a wedge.
+    eventually writes output.  Kill conditions:
+      * "stall": no output growth AND <0.2 s CPU over `stall_window` —
+        a progressing child (long cold compile) is never stall-killed;
+      * "hard_cap": absolute wall-clock bound regardless of progress
+        (a busy-hung child — e.g. a client spinning on reconnects —
+        must not block the bench forever).  1800 s is ~3x the worst
+        observed legitimate cold-compile+measure time.
     Returns (kill_reason, wall_s) with kill_reason in
     (None, "stall", "hard_cap").
     """
@@ -154,8 +156,8 @@ def _run_watched(cmd, cwd, env, out_path, hard_cap=600.0, stall_window=300.0):
         u = _utime(p.pid)
         if size > last_size or (u - last_u) >= 20:  # 20 jiffies = 0.2 s CPU
             last_size, last_u, last_progress = size, u, now
-        if now - last_progress > stall_window:
-            kill_reason = "hard_cap" if now - t0 > hard_cap else "stall"
+        if now - last_progress > stall_window or now - t0 > hard_cap:
+            kill_reason = "stall" if now - last_progress > stall_window else "hard_cap"
             p.kill()
             p.wait()
             break

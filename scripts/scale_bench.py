@@ -185,13 +185,20 @@ def orchestrate(n: int, work: str) -> int:
         if r.returncode != 0:
             print(f"phase {args} failed rc={r.returncode}", file=sys.stderr)
             sys.exit(1)
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not json_lines:
+            print(f"phase {args} produced no JSON result line; stdout:\n"
+                  f"{r.stdout[-1000:]}", file=sys.stderr)
+            sys.exit(1)
+        line = json_lines[-1]
         rec = json.loads(line)
         rec["subprocess_wall_s"] = round(time.time() - t0, 1)
         phase_stats.append(rec)
         print(line)
 
-    run_phase(["--phase", "gen"], "db.index")
+    # fam_of.npy is gen's LAST write: a gen interrupted mid-phase is
+    # re-run rather than half-skipped
+    run_phase(["--phase", "gen"], "fam_of.npy")
     run_phase(["--phase", "canopy"], "canopy.json")
     n_pairs = json.load(open(os.path.join(work, "canopy.json")))["n_pairs"]
     n_chunks = max(1, -(-n_pairs // VERIFY_CHUNK))

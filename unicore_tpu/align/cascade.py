@@ -141,15 +141,22 @@ def verify_chunk(db, pairs: List[Tuple[int, int]], params) -> List[Tuple[int, in
     Self-contained per call (fresh engine) so a worker process can run
     exactly one chunk and exit — the client-recycling pattern that
     bounds host RSS on dev-tunnel relays that retain every transferred
-    buffer (BENCH_NOTES round 2)."""
+    buffer (BENCH_NOTES round 2).  Only the sequences the chunk's pairs
+    actually touch are encoded (a chunk of a 100K-seq run references a
+    few thousand ids, not the whole database)."""
     from unicore_tpu.align.engine import AlignmentEngine, encode_db
 
-    q_aa, q_ss = encode_db(db.aa_seqs, db.ss_seqs)
+    ids = sorted({i for p in pairs for i in p})
+    local = {g: l for l, g in enumerate(ids)}
+    q_aa, q_ss = encode_db(
+        [db.aa_seqs[i] for i in ids], [db.ss_seqs[i] for i in ids]
+    )
     engine = AlignmentEngine(params)
     qlen = np.array([len(a) for a in q_aa])
-    hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, pairs)
+    lpairs = [(local[m], local[r]) for m, r in pairs]
+    hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, lpairs)
     kept = {(h.qidx, h.tidx) for h in engine.gate(hits, qlen, qlen)}
-    return [p for p in pairs if p in kept]
+    return [p for p, lp in zip(pairs, lpairs) if lp in kept]
 
 
 def apply_verification(

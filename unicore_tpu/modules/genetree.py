@@ -85,6 +85,13 @@ def run(args) -> None:
         out_dirs.append(gene_dir)
 
     builder = "raxml-ng" if tree_builder == "raxml" else tree_builder
+    from unicore_tpu.modules.tree import DEFAULT_TREE_OPTIONS
+    if not tree_options:
+        # mirror run_tree_builder's substitution (the raxml-ng branch has
+        # no DEFAULT_GENETREE_OPTIONS entry and must not lose --all)
+        tree_options = DEFAULT_TREE_OPTIONS.get(
+            builder, DEFAULT_TREE_OPTIONS["iqtree"]
+        )
     from unicore_tpu.runtime import registry
     factory = registry.get(builder)
     if factory is None:

@@ -249,6 +249,11 @@ class ProgressiveMSA:
                 st = states[g]
                 merged = self._strip_empty(_merge(rest, solo, path))
                 prev = st[0]
+                # NB: argsort(perm) is the INVERSE permutation — the row
+                # order drifts rather than being restored.  Harmless
+                # (rows/cols stay consistent; _emit maps by row id) but
+                # it MUST match _refine's identical quirk or the
+                # batched-vs-host equivalence breaks.
                 order = np.argsort([merged.rows.index(x) for x in prev.rows])
                 st[0] = _Alignment([merged.rows[i] for i in order], merged.cols[order])
                 st[2] += 1
@@ -298,7 +303,9 @@ class ProgressiveMSA:
             L = len(aa_codes[solo_idx])
             solo = _Alignment([solo_idx], np.arange(L, dtype=np.int32)[None, :])
             merged = self._pairwise_merge(rest, solo, aa_codes, ss_codes)
-            # restore row order
+            # NB: argsort(perm) is the INVERSE permutation (row order
+            # drifts, harmlessly) — keep in lockstep with align_many's
+            # batched refinement, which replicates this exactly
             order = np.argsort([merged.rows.index(x) for x in aln.rows])
             aln = _Alignment(
                 [merged.rows[i] for i in order], merged.cols[order]

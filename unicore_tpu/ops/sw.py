@@ -524,18 +524,23 @@ def sw_forward_pallas(
     assert Brows % BT == 0 and Lq % RB == 0 and Lt % 128 == 0
     assert RB == Lq or RB % 128 == 0
 
-    # Matrices carry a PAD row/column (code NA = 21) of -2048 per channel:
-    # any cell touching a pad position scores -2048*(w_aa + w_3di) — the
-    # masked-cell sentinel — directly from the score matmul (no validity
-    # mask in the kernel).  -2048 = -16*2^7 is bf16-exact; the combined
-    # sentinel must satisfy the cap-coupling bound H_CAP - |s| < |s| and
-    # stay within int16 for the i16 DP path.
-    sent = 2048.0 * (float(w_aa) + float(w_3di))
-    assert 20000.0 <= sent < 32000.0 and 30000 - sent < sent, (w_aa, w_3di)
+    # Matrices carry a PAD row/column (code NA = 21) of -pad_v per
+    # channel: any cell touching a pad position scores
+    # -pad_v*(w_aa + w_3di) — the masked-cell sentinel — directly from
+    # the score matmul (no validity mask in the kernel).  pad_v adapts
+    # to the weights so arbitrary weight conventions keep working (the
+    # default 4/6 units give the canonical -2048 -> -20480): a multiple
+    # of 128 (bf16-exact up to 2^15) chosen so the combined sentinel
+    # lands in [20480, 32000) — above the cap-coupling bound
+    # H_CAP - |s| < |s| and inside int16 for the i16 DP path.
+    wsum = float(w_aa) + float(w_3di)
+    pad_v = -(-int(np.ceil(20480.0 / wsum)) // 128) * 128  # round up to 128k
+    sent = pad_v * wsum
+    assert 20000.0 <= sent < 32000.0 and 30000 - sent < sent, (w_aa, w_3di, sent)
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
-    saa_p = saa_p.at[PAD, : NA + 1].set(-2048.0).at[: NA + 1, PAD].set(-2048.0)
+    saa_p = saa_p.at[PAD, : NA + 1].set(-float(pad_v)).at[: NA + 1, PAD].set(-float(pad_v))
     s3d_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(s3d.astype(jnp.float32))
-    s3d_p = s3d_p.at[PAD, : NA + 1].set(-2048.0).at[: NA + 1, PAD].set(-2048.0)
+    s3d_p = s3d_p.at[PAD, : NA + 1].set(-float(pad_v)).at[: NA + 1, PAD].set(-float(pad_v))
 
 
     assert BT % chains == 0 and (BT // chains) % 8 == 0, (BT, chains)

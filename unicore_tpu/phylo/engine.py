@@ -154,7 +154,7 @@ class TreeEngine:
 
         # bootstrap supports
         if n_boot and len(names) >= 4:
-            best_tree = self._bootstrap(engine, search, best_tree, n_boot, seed)
+            best_tree = self._bootstrap(engine, best_tree, n_boot, seed)
 
         return unroot(best_tree), best_ll, info
 
@@ -221,6 +221,7 @@ class TreeEngine:
         opts, model_str, n_boot, seed, n_starts, max_nni_rounds = self._parse_opts(
             options, None, None, seed, n_starts, max_nni_rounds
         )
+        partitioned = bool(opts.get("-p") or opts.get("-q"))
         results: List[Optional[Tuple[Node, float, Dict]]] = [None] * len(msas)
 
         groups: Dict[Tuple[int, int], List[int]] = {}
@@ -231,7 +232,7 @@ class TreeEngine:
             if len(names) < 3:
                 results[g] = self._trivial_tree(names, seqs)
                 continue
-            if len(names) >= 48:
+            if len(names) >= 48 or partitioned:
                 results[g] = self.infer(
                     msa, options=options, seed=seed, n_starts=n_starts,
                     max_nni_rounds=max_nni_rounds, blen_steps=blen_steps,
@@ -304,9 +305,7 @@ class TreeEngine:
                     "seconds": secs / len(gidx),
                 }
                 if n_boot and n >= 4:
-                    best_tree = self._bootstrap(
-                        eng, searches[i], best_tree, n_boot, seed
-                    )
+                    best_tree = self._bootstrap(eng, best_tree, n_boot, seed)
                 results[g] = (unroot(best_tree), best_ll, info)
         return results  # type: ignore[return-value]
 
@@ -343,8 +342,7 @@ class TreeEngine:
         return final
 
     # ------------------------------------------------------------------
-    def _bootstrap(self, engine, search, best_tree, n_boot, seed,
-                   n_walks: int = 256) -> Node:
+    def _bootstrap(self, engine, best_tree, n_boot, seed) -> Node:
         """True per-replicate bootstrap (`-B 1000` UFBoot semantics,
         tree.rs:143): every replicate runs its own weighted NNI climb
         from the ML tree (phylo/bootstrap.py::ufboot_supports).  The
