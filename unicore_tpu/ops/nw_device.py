@@ -186,7 +186,13 @@ def nw_align_batch(
         bsz = max(1, min(batch_size, (64 << 20) // (Lb * Lb * 2)))
         for s0 in range(0, len(idxs), bsz):
             chunk = idxs[s0 : s0 + bsz]
-            B = bsz if len(idxs) > bsz else len(chunk)
+            # pad the batch to a power of two (capped at bsz): merge
+            # rounds shrink geometrically, and an exact-size batch would
+            # be a NEW compiled shape per round — pow2 classes bound the
+            # compile count and get reused across rounds and genes
+            B = bsz if len(idxs) > bsz else min(
+                bsz, max(8, 1 << (len(chunk) - 1).bit_length())
+            )
             Sp = np.full((B, Lb, Lb), PAD_SCORE, dtype=np.int16)
             l1 = np.ones(B, dtype=np.int32)
             l2 = np.ones(B, dtype=np.int32)
