@@ -286,8 +286,13 @@ class AlignmentEngine:
             for s0 in range(0, len(items), p.batch_size):
                 chunk = items[s0 : s0 + p.batch_size]
                 # fixed batch shape whenever the bucket spans multiple
-                # chunks: one compile per (LQ, LT) shape, not per chunk
-                B = p.batch_size if len(items) > p.batch_size else _round_up(len(chunk), 16)
+                # chunks; single-chunk buckets pad to a power-of-two
+                # class — exact tail sizes would compile a new XLA shape
+                # per distinct count (same disease as the MSA merge
+                # rounds, BENCH_NOTES round 3)
+                B = p.batch_size if len(items) > p.batch_size else min(
+                    p.batch_size, max(16, 1 << (len(chunk) - 1).bit_length())
+                )
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)
@@ -374,7 +379,11 @@ class AlignmentEngine:
             bsz = min(p.batch_size, max(8, (128 * 2**20) // (LQ * W * 4)))
             for s0 in range(0, len(items), bsz):
                 chunk = items[s0 : s0 + bsz]
-                B = bsz if len(items) > bsz else _round_up(len(chunk), 8)
+                # pow2 batch classes for single-chunk buckets (bounded
+                # compile count; see the short-bucket path above)
+                B = bsz if len(items) > bsz else min(
+                    bsz, max(8, 1 << (len(chunk) - 1).bit_length())
+                )
                 qa = np.full((B, LQ), 20, dtype=np.int32)
                 qs = np.full((B, LQ), 20, dtype=np.int32)
                 ta = np.full((B, LT), 20, dtype=np.int32)
