@@ -121,8 +121,13 @@ def phase_verify(work: str, chunk_id: int) -> None:
     t0 = time.time()
     sl = pairs[chunk_id * VERIFY_CHUNK : (chunk_id + 1) * VERIFY_CHUNK]
     kept = verify_chunk(db, sl, AlignParams()) if sl else []
-    np.save(os.path.join(work, f"verify_{chunk_id}.npy"),
-            np.asarray(kept, dtype=np.int64).reshape(-1, 2))
+    # atomic publish: verify_{cid}.npy doubles as the resume-skip marker,
+    # so a worker killed mid-np.save must not leave a truncated file that
+    # marks the chunk complete
+    final = os.path.join(work, f"verify_{chunk_id}.npy")
+    tmp = final + ".tmp.npy"
+    np.save(tmp, np.asarray(kept, dtype=np.int64).reshape(-1, 2))
+    os.replace(tmp, final)
     print(json.dumps({"phase": "verify", "chunk": chunk_id,
                       "n_pairs": len(sl), "n_kept": len(kept),
                       "wall_s": round(time.time() - t0, 1),
@@ -142,11 +147,20 @@ def phase_reps(work: str) -> None:
     reps = list(c["reps"])
     cand = {int(k): v for k, v in c["cand"].items()}
     kept = set()
-    i = 0
-    while os.path.exists(os.path.join(work, f"verify_{i}.npy")):
-        arr = np.load(os.path.join(work, f"verify_{i}.npy"))
+    # the expected chunk count is derived from the canopy phase's pair
+    # count — stopping at the first missing file would silently treat
+    # every later chunk's pairs as unverified singletons
+    n_chunks = -(-int(c["n_pairs"]) // VERIFY_CHUNK)
+    for i in range(n_chunks):
+        path = os.path.join(work, f"verify_{i}.npy")
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"phase_reps: missing {path} ({n_chunks} verify chunks "
+                f"expected for {c['n_pairs']} pairs) — run phase_verify "
+                f"for every chunk first"
+            )
+        arr = np.load(path)
         kept.update((int(a), int(b)) for a, b in arr)
-        i += 1
     t0 = time.time()
     verified = apply_verification(reps, cand, kept)
     clusters, _ = representative_round(db, reps, verified, AlignParams())

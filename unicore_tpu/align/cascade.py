@@ -143,7 +143,9 @@ def verify_chunk(db, pairs: List[Tuple[int, int]], params) -> List[Tuple[int, in
     bounds host RSS on dev-tunnel relays that retain every transferred
     buffer (BENCH_NOTES round 2).  Only the sequences the chunk's pairs
     actually touch are encoded (a chunk of a 100K-seq run references a
-    few thousand ids, not the whole database)."""
+    few thousand ids, not the whole database) — but E-values are always
+    computed against the FULL database size, so verification outcomes
+    are invariant to how the pair list was chunked."""
     from unicore_tpu.align.engine import AlignmentEngine, encode_db
 
     ids = sorted({i for p in pairs for i in p})
@@ -154,7 +156,10 @@ def verify_chunk(db, pairs: List[Tuple[int, int]], params) -> List[Tuple[int, in
     engine = AlignmentEngine(params)
     qlen = np.array([len(a) for a in q_aa])
     lpairs = [(local[m], local[r]) for m, r in pairs]
-    hits = engine.align_pairs(q_aa, q_ss, q_aa, q_ss, lpairs)
+    hits = engine.align_pairs(
+        q_aa, q_ss, q_aa, q_ss, lpairs,
+        n_db=float(sum(len(s) for s in db.aa_seqs)), n_seqs=len(db),
+    )
     kept = {(h.qidx, h.tidx) for h in engine.gate(hits, qlen, qlen)}
     return [p for p, lp in zip(pairs, lpairs) if lp in kept]
 

@@ -447,9 +447,16 @@ class AlignmentEngine:
         q_aa: Sequence[np.ndarray], q_ss: Sequence[np.ndarray],
         t_aa: Sequence[np.ndarray], t_ss: Sequence[np.ndarray],
         pairs: Sequence[Tuple[int, int]],
+        n_db: Optional[float] = None,
+        n_seqs: Optional[int] = None,
     ) -> List[Hit]:
         """Forward+reverse SW for every (qidx, tidx) pair; returns raw hits
-        with score and start/end coordinates (no gating)."""
+        with score and start/end coordinates (no gating).
+
+        `n_db` / `n_seqs` override the E-value database size; callers
+        that align a SUBSET of a database (chunked verification) must
+        pass the full-database totals so E-values are invariant to how
+        the work was chunked."""
         if not pairs:
             return []
         p = self.params
@@ -492,8 +499,10 @@ class AlignmentEngine:
         # >= c of the query only if qend+1 >= c*qlen (any start); same for
         # the target side.  Pairs that already fail these (or the E-value
         # gate on the final score) never need the reverse pass.
-        n_db = float(tlen_all.sum())
-        n_seqs = int(len(tlen_all))
+        if n_db is None:
+            n_db = float(tlen_all.sum())
+        if n_seqs is None:
+            n_seqs = int(len(tlen_all))
         gs = self._stats()
         skip = pruned.copy()
         cov = p.coverage

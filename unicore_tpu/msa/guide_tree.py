@@ -43,11 +43,24 @@ def _shared_counts(feats: np.ndarray) -> np.ndarray:
     if feats.shape[0] >= 256 and jax.devices()[0].platform in ("tpu", "axon"):
         import jax.numpy as jnp
 
+        # pad the row axis to a power-of-two shape class: the accumulated
+        # group row count is arbitrary (256..4096, different per group),
+        # and on the remote-compile tunnel every distinct N is a fresh
+        # XLA compile (the pow2 batch-class invariant, BENCH_NOTES r3).
+        # Zero rows share nothing; the gram slice drops them.
+        n = feats.shape[0]
+        npad = 256
+        while npad < n:
+            npad *= 2
+        fp = feats
+        if npad != n:
+            fp = np.zeros((npad, feats.shape[1]), feats.dtype)
+            fp[:n] = feats
         s = jnp.dot(
-            jnp.asarray(feats), jnp.asarray(feats).T,
+            jnp.asarray(fp), jnp.asarray(fp).T,
             preferred_element_type=jnp.int32,
         )
-        return np.asarray(s).astype(np.float32)
+        return np.asarray(s)[:n, :n].astype(np.float32)
     f = feats.astype(np.float32)
     return f @ f.T
 

@@ -320,6 +320,11 @@ class ProgressiveMSA:
         for sidx in range(len(names)):
             idx = aln.cols[by_row[sidx]]
             seq_b = np.frombuffer(aa_seqs[sidx].encode(), dtype=np.uint8)
+            if len(seq_b) == 0:
+                # all-gap row: the clip-then-gather below would index an
+                # empty array even though every lane selects '-'
+                out[names[sidx]] = "-" * len(idx)
+                continue
             chars = np.where(idx >= 0, seq_b[np.clip(idx, 0, None)], ord("-"))
             out[names[sidx]] = chars.astype(np.uint8).tobytes().decode()
         return out

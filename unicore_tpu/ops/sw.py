@@ -211,12 +211,15 @@ def _sw_kernel(
     int_dp = dp_dtype == jnp.int16
     NEGv = -20000 if int_dp else NEG
     H_CAP = 30000
-    # Safety coupling: masked cells carry the sc-scratch sentinel (-20000),
-    # so a diagonal extension INTO a masked cell scores at most
-    # H_CAP + (-20000) = 10000.  The true best of any pair that reaches
-    # H > 20000 is itself > 20000, so ghost values can never win the
-    # per-column max — but ONLY while H_CAP - |sentinel| < |sentinel|.
-    # Keep the two constants tied: changing either alone breaks masking.
+    # Safety coupling: masked (PAD-code) cells carry the adaptive pad
+    # sentinel -sent from the score matmul, with sent >= 20480 asserted
+    # host-side in sw_forward_pallas, so a diagonal extension INTO a
+    # masked cell scores at most H_CAP - 20480 < 10000.  The true best
+    # of any pair that reaches H > sent is itself > sent, so ghost
+    # values can never win the per-column max — but ONLY while
+    # H_CAP - sent < sent.  The host assert guarantees that for the
+    # actual sentinel; the conservative 20000 bound is re-checked here
+    # (20000 <= sent always holds, so H_CAP - sent <= H_CAP - 20000).
     if int_dp:
         assert H_CAP - 20000 < 20000, (H_CAP, NEGv)
 
@@ -529,12 +532,19 @@ def sw_forward_pallas(
     # -pad_v*(w_aa + w_3di) — the masked-cell sentinel — directly from
     # the score matmul (no validity mask in the kernel).  pad_v adapts
     # to the weights so arbitrary weight conventions keep working (the
-    # default 4/6 units give the canonical -2048 -> -20480): a multiple
-    # of 128 (bf16-exact up to 2^15) chosen so the combined sentinel
-    # lands in [20480, 32000) — above the cap-coupling bound
-    # H_CAP - |s| < |s| and inside int16 for the i16 DP path.
+    # default 4/6 units give the canonical -2048 -> -20480).  pad_v must
+    # be bf16-exact (<= 8 significant bits), so round up to the smallest
+    # power-of-two granularity that guarantees exactness at pad_v's own
+    # magnitude — NOT a fixed 128 multiple, which overshoots past int16
+    # range for large weight sums (w_aa + w_3di ~ 130 pushed the old
+    # rounding past 32000).  The overshoot of this rounding is <= 1/128
+    # of pad_v, so sent always lands in [20480, ~21000 + wsum) — above
+    # the cap-coupling bound H_CAP - |s| < |s| and inside int16 for the
+    # i16 DP path.
     wsum = float(w_aa) + float(w_3di)
-    pad_v = -(-int(np.ceil(20480.0 / wsum)) // 128) * 128  # round up to 128k
+    pad_v0 = int(np.ceil(20480.0 / wsum))
+    gran = 1 << max(0, pad_v0.bit_length() - 8)  # bf16-exact granularity
+    pad_v = -(-pad_v0 // gran) * gran
     sent = pad_v * wsum
     assert 20000.0 <= sent < 32000.0 and 30000 - sent < sent, (w_aa, w_3di, sent)
     saa_p = jnp.zeros((32, 128), jnp.float32).at[:NA, :NA].set(saa.astype(jnp.float32))
