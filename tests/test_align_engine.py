@@ -27,7 +27,7 @@ def test_align_params_prefilter_options():
     p = AlignParams.from_options("--max-seqs 50 -s 7.5 --min-ungapped-score 20")
     assert p.max_seqs == 50
     assert p.sens == 7.5
-    assert p.min_ungapped_score == round(20 * 2.8571)
+    assert p.min_ungapped_score == 200  # foldseek units x10 (mean-combined scale)
 
 
 def _family_fixture(nfam=4, per=5, L=70, seed=11):
@@ -195,10 +195,16 @@ def test_evalue_calibration_within_2x_across_lengths():
         (2048, 32, (0.5, 0.25)),
     ):
         rng = np.random.RandomState(99 + L)  # held-out seeds
+        # held-out pairs must follow the SAME null as the calibration:
+        # AA uniform, 3Di from the matrix-implied background (a uniform
+        # 3Di null is in the linear phase under mat3di and is not what
+        # the statistics model)
+        from unicore_tpu.matrices import get_3di_background
+        bg3 = get_3di_background()
         qa = rng.randint(0, 20, (B, L)).astype(np.int32)
-        qs = rng.randint(0, 20, (B, L)).astype(np.int32)
+        qs = rng.choice(20, size=(B, L), p=bg3).astype(np.int32)
         ta = rng.randint(0, 20, (B, L)).astype(np.int32)
-        ts = rng.randint(0, 20, (B, L)).astype(np.int32)
+        ts = rng.choice(20, size=(B, L), p=bg3).astype(np.int32)
         ln = np.full(B, L, np.int32)
         best, _, _ = eng._forward_batch(qa, qs, ta, ts, ln, ln)
         best = np.asarray(best, dtype=np.float64)

@@ -229,3 +229,28 @@ def test_pallas_gap_window_interpret():
     )
     for a, b in zip(full, win):
         assert (np.array(a) == np.array(b)).all()
+
+
+def test_pallas_bias_interpret_matches_xla():
+    """The composition-bias MXU row (qc input) produces exactly
+    build_scores(qc)+scan on every path: gapped, windowed, ungapped."""
+    from unicore_tpu.ops.sw import ungapped_forward_xla
+
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 128, 128)
+    rng = np.random.RandomState(7)
+    qc = rng.randint(-150, 40, qa.shape).astype(np.int32)
+    scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d, qc=qc)
+    for ungapped in (False, True):
+        if ungapped:
+            ref = ungapped_forward_xla(scores)
+        else:
+            ref = sw_forward_xla(scores, go=GO, ge=GE, gap_window=64)
+        pal = sw_forward_pallas(
+            qa, qs, ta, ts, qlen, tlen, saa, s3d,
+            go=GO, ge=GE, batch_tile=8, interpret=True,
+            gap_window=0 if ungapped else 64, ungapped=ungapped, qc=qc,
+        )
+        for a, b in zip(ref, pal):
+            assert (np.array(a) == np.array(b)).all(), ungapped

@@ -34,10 +34,11 @@ from unicore_tpu.runtime import logging as msg
 
 @dataclass
 class AlignParams:
-    # integer scoring units (see ops/sw.py): foldseek (1.4, 2.1, 10, 1)
-    # mapped to (4, 6, 28, 3)
-    gap_open: float = 28.0
-    gap_extend: float = 3.0
+    # integer scoring units (see ops/sw.py): foldseek's mean-combined
+    # scoring (0.4 aa + 0.6 3di, gap 10/1) scaled x10 to integers
+    # (4, 6, 100, 10)
+    gap_open: float = 100.0
+    gap_extend: float = 10.0
     w_aa: float = W_AA
     w_3di: float = W_3DI
     coverage: float = 0.8
@@ -61,7 +62,7 @@ class AlignParams:
     sens: float = 5.7
     # target-side gap runs are capped at this length in BOTH backends
     # (identical windowed-gap algorithm on TPU and CPU, so outputs stay
-    # byte-identical across backends).  A 64-gap costs 28+63*3 = 217
+    # byte-identical across backends).  A 64-gap costs 100+63*10 = 730
     # internal units — beyond any alignment that passes the default
     # coverage gate; exactness vs full Gotoh is asserted on every tested
     # distribution (tests/test_sw.py).  0 = unbounded (full scan).
@@ -74,6 +75,13 @@ class AlignParams:
     # backends (byte-identity contract, like gap_window).
     long_threshold: int = 1024
     band_width: int = 256
+    # local composition-bias score correction (align/bias.py), foldseek's
+    # default-on `--comp-bias-corr 1` (cluster.rs:43-55 contract): damps
+    # spurious scores between composition-biased / low-complexity
+    # sequences.  Applied identically in every scoring path (rescore,
+    # forward, reverse, banded, traceback) AND in the E-value
+    # calibration, so statistics stay consistent.
+    comp_bias_corr: int = 1
 
     @classmethod
     def from_options(cls, options: str) -> "AlignParams":
@@ -98,17 +106,19 @@ class AlignParams:
             elif t == "--min-seq-id":
                 p.min_seq_id = float(val())
             elif t == "--gap-open":
-                # user options use foldseek units; internal units are
-                # ~2.857x (aa weight 4 vs foldseek's 1.4)
-                p.gap_open = round(float(val()) * 2.8571)
+                # user options use foldseek units (mean-combined scale);
+                # internal integer units are x10 (weights 4/6 vs 0.4/0.6)
+                p.gap_open = round(float(val()) * 10)
             elif t == "--gap-extend":
-                p.gap_extend = round(float(val()) * 2.8571)
+                p.gap_extend = round(float(val()) * 10)
             elif t == "--min-ungapped-score":
-                p.min_ungapped_score = round(float(val()) * 2.8571)
+                p.min_ungapped_score = round(float(val()) * 10)
             elif t == "--max-seqs":
                 p.max_seqs = int(val())
             elif t == "--band-width":
                 p.band_width = int(val())
+            elif t == "--comp-bias-corr":
+                p.comp_bias_corr = int(val())
             elif t == "--long-threshold":
                 p.long_threshold = int(val())
             elif t == "-s":
@@ -172,14 +182,21 @@ class AlignmentEngine:
         if self._gapped is None:
             import hashlib
             p = self.params
+            from unicore_tpu.matrices import get_3di_background
             keysrc = (
                 self.saa.tobytes() + self.s3d.tobytes()
+                + get_3di_background().tobytes()
                 + np.array([p.w_aa, p.w_3di, p.gap_open, p.gap_extend,
-                            float(p.gap_window)]).tobytes()
+                            float(p.gap_window),
+                            float(p.comp_bias_corr)]).tobytes()
             )
             key = hashlib.md5(keysrc).hexdigest()[:16]
 
             def score_fn(qa, qs, ta, ts, ql, tl):
+                # the null-model simulation goes through _forward_batch,
+                # which applies the same composition-bias correction as
+                # production scoring — calibrated statistics match the
+                # corrected score distribution
                 b, _, _ = self._forward_batch(qa, qs, ta, ts, ql, tl)
                 return np.asarray(b)
 
@@ -200,9 +217,19 @@ class AlignmentEngine:
         qa: np.ndarray, qs: np.ndarray, ta: np.ndarray, ts: np.ndarray,
         qlen: np.ndarray, tlen: np.ndarray,
         ungapped: bool = False,
+        qc: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(B,) best / qend / tend for one padded batch."""
+        """(B,) best / qend / tend for one padded batch.
+
+        `qc`: (B, Lq) int32 per-query-position composition-bias
+        corrections.  None with comp_bias_corr on = compute here from
+        the batch codes (the calibration path); callers that already
+        hold per-sequence corrections pass the packed slice."""
         p = self.params
+        if qc is None and p.comp_bias_corr:
+            from unicore_tpu.align.bias import composition_bias
+            qc = composition_bias(qa, qs, qlen, self.saa, self.s3d,
+                                  p.w_aa, p.w_3di)
         backend = self._backend()
         if backend == "pallas":
             import jax
@@ -222,6 +249,8 @@ class AlignmentEngine:
                     ts = np.concatenate([ts, np.full((padn, ts.shape[1]), 20, ts.dtype)])
                     qlen = np.concatenate([qlen, np.ones(padn, qlen.dtype)])
                     tlen = np.concatenate([tlen, np.ones(padn, tlen.dtype)])
+                    if qc is not None:
+                        qc = np.concatenate([qc, np.zeros((padn, qc.shape[1]), qc.dtype)])
                 from jax.sharding import Mesh
                 from unicore_tpu.ops.sw import sw_forward_sharded
                 mesh = Mesh(np.asarray(devs), ("dp",))
@@ -229,7 +258,7 @@ class AlignmentEngine:
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d, mesh,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
                     backend="pallas", ungapped=ungapped,
-                    gap_window=p.gap_window,
+                    gap_window=p.gap_window, qc=qc,
                 )
                 best, qe, te = best[:B0], qe[:B0], te[:B0]
             else:
@@ -238,13 +267,14 @@ class AlignmentEngine:
                     qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
                     go=p.gap_open, ge=p.gap_extend, w_aa=p.w_aa, w_3di=p.w_3di,
                     ungapped=ungapped, gap_window=p.gap_window,
+                    qc=None if qc is None else jnp_asarray_i32(qc),
                 )
         else:
             from unicore_tpu.ops.sw import (
                 build_scores, sw_forward_xla, ungapped_forward_xla,
             )
             scores = build_scores(qa, qs, ta, ts, qlen, tlen, self.saa, self.s3d,
-                                  w_aa=p.w_aa, w_3di=p.w_3di)
+                                  w_aa=p.w_aa, w_3di=p.w_3di, qc=qc)
             if ungapped:
                 best, qe, te = ungapped_forward_xla(scores)
             else:
@@ -262,16 +292,32 @@ class AlignmentEngine:
     ) -> Dict[int, Tuple[float, int, int]]:
         """Bucketed, padded, batched kernel dispatch.
 
-        `entries` is a list of (key, qa, qs, ta, ts) per pair (code
-        arrays, unpadded).  Returns {key: (best, qend, tend)}.  All
-        batches are dispatched before any result is collected, so host
-        packing overlaps device compute.  `split_long=False` forces the
-        full-matrix path even above `long_threshold` (the banded pass's
-        last-resort fallback for seedless pairs).
+        `entries` is a list of (key, qa, qs, ta, ts[, qc]) per pair
+        (code arrays, unpadded; qc = optional per-query-position
+        composition-bias corrections, same length as qa).  Returns
+        {key: (best, qend, tend)}.  All batches are dispatched before
+        any result is collected, so host packing overlaps device
+        compute.  `split_long=False` forces the full-matrix path even
+        above `long_threshold` (the banded pass's last-resort fallback
+        for seedless pairs).
         """
         p = self.params
         from unicore_tpu.runtime import profiling
         t0 = __import__("time").time()
+        entries = [e if len(e) == 6 else (*e, None) for e in entries]
+        if p.comp_bias_corr:
+            # entries without a caller-supplied correction (callers that
+            # pre-compute per-unique-sequence, like align_pairs, pass
+            # slices) get one computed here, so every scoring path is
+            # bias-corrected exactly once
+            from unicore_tpu.align.bias import composition_bias
+            entries = [
+                e if e[5] is not None else (*e[:5], composition_bias(
+                    np.asarray(e[1])[None, :], np.asarray(e[2])[None, :],
+                    np.array([len(e[1])]), self.saa, self.s3d,
+                    p.w_aa, p.w_3di)[0])
+                for e in entries
+            ]
         buckets: Dict[Tuple[int, int], List[tuple]] = {}
         long_entries: List[tuple] = []
         for e in entries:
@@ -299,15 +345,20 @@ class AlignmentEngine:
                 ts = np.full((B, LT), 20, dtype=np.int32)
                 ql = np.ones(B, dtype=np.int32)
                 tl = np.ones(B, dtype=np.int32)
-                for row, (_, eqa, eqs, eta, ets) in enumerate(chunk):
+                qcb = (np.zeros((B, LQ), np.int32)
+                       if any(e[5] is not None for e in chunk) else None)
+                for row, (_, eqa, eqs, eta, ets, eqc) in enumerate(chunk):
                     ql[row] = len(eqa)
                     tl[row] = len(eta)
                     qa[row, : ql[row]] = eqa
                     qs[row, : ql[row]] = eqs
                     ta[row, : tl[row]] = eta
                     ts[row, : tl[row]] = ets
+                    if qcb is not None and eqc is not None:
+                        qcb[row, : ql[row]] = eqc
                 inflight.append(
-                    (chunk, self._forward_batch(qa, qs, ta, ts, ql, tl, ungapped=ungapped))
+                    (chunk, self._forward_batch(qa, qs, ta, ts, ql, tl,
+                                                ungapped=ungapped, qc=qcb))
                 )
                 profiling.add_counter(f"{counter}.cells", float(B) * LQ * LT)
         out: Dict[int, Tuple[float, int, int]] = {}
@@ -339,7 +390,8 @@ class AlignmentEngine:
         out: Dict[int, Tuple[float, int, int]] = {}
         buckets: Dict[Tuple[int, int, int], List[tuple]] = {}
         full_fallback: List[tuple] = []
-        for key, eqa, eqs, eta, ets in entries:
+        entries = [e if len(e) == 6 else (*e, None) for e in entries]
+        for key, eqa, eqs, eta, ets, eqc in entries:
             d0 = vote_diagonal(eqa, eqs, eta, ets)
             wide = 0
             if d0 is None:
@@ -357,7 +409,7 @@ class AlignmentEngine:
                     # chance-level pairs score 0 (foldseek's prefilter
                     # would never let them through to alignment)
                     if has_seed_evidence(eqa, eqs, eta, ets):
-                        full_fallback.append((key, eqa, eqs, eta, ets))
+                        full_fallback.append((key, eqa, eqs, eta, ets, eqc))
                     else:
                         out[key] = (0.0, 0, 0)
                     continue
@@ -367,7 +419,7 @@ class AlignmentEngine:
             W = max(p.band_width << wide,
                     _round_up(abs(len(eqa) - len(eta)) + 128, 128))
             W = min(W, LT)  # a band wider than the target is the full matrix
-            buckets.setdefault((LQ, LT, W), []).append((key, eqa, eqs, eta, ets, d0))
+            buckets.setdefault((LQ, LT, W), []).append((key, eqa, eqs, eta, ets, eqc, d0))
         if full_fallback:
             out.update(self._sw_pass(
                 full_fallback, ungapped=ungapped, counter=counter,
@@ -391,7 +443,9 @@ class AlignmentEngine:
                 ql = np.ones(B, dtype=np.int32)
                 tl = np.ones(B, dtype=np.int32)
                 d0 = np.zeros(B, dtype=np.int32)
-                for row, (_, eqa, eqs, eta, ets, ed) in enumerate(chunk):
+                qcb = (np.zeros((B, LQ), np.int32)
+                       if any(e[5] is not None for e in chunk) else None)
+                for row, (_, eqa, eqs, eta, ets, eqc, ed) in enumerate(chunk):
                     ql[row] = len(eqa)
                     tl[row] = len(eta)
                     qa[row, : ql[row]] = eqa
@@ -399,6 +453,8 @@ class AlignmentEngine:
                     ta[row, : tl[row]] = eta
                     ts[row, : tl[row]] = ets
                     d0[row] = ed
+                    if qcb is not None and eqc is not None:
+                        qcb[row, : ql[row]] = eqc
                 import jax
                 devs = jax.devices()
                 if len(devs) > 1 and devs[0].platform in ("tpu", "axon"):
@@ -417,12 +473,14 @@ class AlignmentEngine:
                         ql = np.concatenate([ql, np.ones(padn, ql.dtype)])
                         tl = np.concatenate([tl, np.ones(padn, tl.dtype)])
                         d0 = np.concatenate([d0, np.zeros(padn, d0.dtype)])
+                        if qcb is not None:
+                            qcb = np.concatenate([qcb, np.zeros((padn, LQ), qcb.dtype)])
                     mesh = Mesh(np.asarray(devs), ("dp",))
                     res = sw_forward_banded_sharded(
                         qa, qs, ta, ts, ql, tl, d0, self.saa, self.s3d, mesh,
                         W=W, go=p.gap_open, ge=p.gap_extend,
                         w_aa=p.w_aa, w_3di=p.w_3di,
-                        gap_window=p.gap_window, ungapped=ungapped,
+                        gap_window=p.gap_window, ungapped=ungapped, qc=qcb,
                     )
                 else:
                     res = sw_forward_banded(
@@ -432,6 +490,7 @@ class AlignmentEngine:
                         W=W, go=p.gap_open, ge=p.gap_extend,
                         w_aa=p.w_aa, w_3di=p.w_3di,
                         gap_window=p.gap_window, ungapped=ungapped,
+                        qc=None if qcb is None else jnp.asarray(qcb),
                     )
                 inflight.append((chunk, res))
                 profiling.add_counter(f"{counter}.cells", float(B) * LQ * W)
@@ -464,13 +523,30 @@ class AlignmentEngine:
         qlen_all = np.array([len(a) for a in q_aa])
         tlen_all = np.array([len(a) for a in t_aa])
 
+        # per-unique-query composition-bias corrections, computed once
+        # and sliced into every pass (forward, rescore, reverse) so all
+        # scoring of a pair uses identical per-position values
+        _qc_cache: Dict[int, np.ndarray] = {}
+
+        def qbias(qi: int):
+            if not p.comp_bias_corr:
+                return None
+            if qi not in _qc_cache:
+                from unicore_tpu.align.bias import composition_bias
+                _qc_cache[qi] = composition_bias(
+                    np.asarray(q_aa[qi])[None, :], np.asarray(q_ss[qi])[None, :],
+                    np.array([len(q_aa[qi])]), self.saa, self.s3d,
+                    p.w_aa, p.w_3di,
+                )[0]
+            return _qc_cache[qi]
+
         # ---- ungapped diagonal rescore gate (foldseek rescore analog) ----
         # The per-row cost of the diagonal chain is ~10x cheaper than
         # gapped SW, so pruning here directly saves SW wall-clock.
         live = list(range(len(pairs)))
         if p.min_ungapped_score > 0:
             entries = [
-                (k, q_aa[qi], q_ss[qi], t_aa[ti], t_ss[ti])
+                (k, q_aa[qi], q_ss[qi], t_aa[ti], t_ss[ti], qbias(qi))
                 for k, (qi, ti) in enumerate(pairs)
             ]
             diag = self._sw_pass(entries, ungapped=True, counter="rescore")
@@ -486,7 +562,8 @@ class AlignmentEngine:
 
         fwd = self._sw_pass(
             [(k, q_aa[pairs[k][0]], q_ss[pairs[k][0]],
-              t_aa[pairs[k][1]], t_ss[pairs[k][1]]) for k in live],
+              t_aa[pairs[k][1]], t_ss[pairs[k][1]], qbias(pairs[k][0]))
+             for k in live],
             counter="align",
         )
         for k, (b, qe, te) in fwd.items():
@@ -528,10 +605,16 @@ class AlignmentEngine:
             if skip[k]:
                 continue
             nq, nt = qend[k] + 1, tend[k] + 1
+            # the reverse pass reuses the FORWARD per-position bias values
+            # (sliced + reversed) rather than recomputing on the truncated
+            # sequence: every cell then scores identically in both passes,
+            # so the reverse end is exactly the forward optimum's start
+            qc_full = qbias(qi)
             rev_entries.append((
                 k,
                 q_aa[qi][:nq][::-1], q_ss[qi][:nq][::-1],
                 t_aa[ti][:nt][::-1], t_ss[ti][:nt][::-1],
+                None if qc_full is None else qc_full[:nq][::-1],
             ))
         rev = self._sw_pass(rev_entries, counter="align")
         for k, (_, qe, te) in rev.items():
@@ -585,11 +668,29 @@ class AlignmentEngine:
         from unicore_tpu.ops.sw_ref import sw_traceback_ref
 
         p = self.params
+        _qc_cache: Dict[int, np.ndarray] = {}
+
+        def qbias_win(qidx: int, lo: int, hi: int):
+            """Forward-pass bias values sliced to the hit window (same
+            values the kernel scored with, so the traceback re-derives
+            the kernel's optimal alignment)."""
+            if not p.comp_bias_corr:
+                return None
+            if qidx not in _qc_cache:
+                from unicore_tpu.align.bias import composition_bias
+                _qc_cache[qidx] = composition_bias(
+                    np.asarray(q_aa[qidx])[None, :], np.asarray(q_ss[qidx])[None, :],
+                    np.array([len(q_aa[qidx])]), self.saa, self.s3d,
+                    p.w_aa, p.w_3di,
+                )[0]
+            return _qc_cache[qidx][lo:hi]
+
         for h in hits:
             qa = q_aa[h.qidx][h.qstart : h.qend + 1]
             qs = q_ss[h.qidx][h.qstart : h.qend + 1]
             ta = t_aa[h.tidx][h.tstart : h.tend + 1]
             ts = t_ss[h.tidx][h.tstart : h.tend + 1]
+            qc_win = qbias_win(h.qidx, h.qstart, h.qend + 1)
             if p.long_threshold and max(len(qa), len(ta)) > p.long_threshold:
                 # long window: banded traceback (O(L*W) instead of the
                 # O(L^2) full DP matrices, which would be ~0.5 GB at 4k)
@@ -603,7 +704,8 @@ class AlignmentEngine:
                 W = max(p.band_width,
                         ((abs(len(qa) - len(ta)) + 255) // 128) * 128)
                 sb, _ = band_scores_ref(qa, qs, ta, ts, d0, W,
-                                        self.saa, self.s3d, p.w_aa, p.w_3di)
+                                        self.saa, self.s3d, p.w_aa, p.w_3di,
+                                        qc=qc_win)
                 _, q_arr, t_arr = sw_traceback_banded_ref(
                     sb, d0, p.gap_open, p.gap_extend)
             else:
@@ -611,6 +713,8 @@ class AlignmentEngine:
                     p.w_aa * self.saa[qa[:, None], ta[None, :]]
                     + p.w_3di * self.s3d[qs[:, None], ts[None, :]]
                 ).astype(np.float64)
+                if qc_win is not None:
+                    s = s + np.asarray(qc_win)[:, None]
                 _, _, _, _, _, q_arr, t_arr = sw_traceback_ref(s, p.gap_open, p.gap_extend)
             if len(q_arr) == 0:
                 h.alnlen = max(h.qend - h.qstart, h.tend - h.tstart) + 1
@@ -645,6 +749,11 @@ class AlignmentEngine:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def jnp_asarray_i32(x: np.ndarray):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.int32)
 
 
 def encode_db(aa_seqs: Sequence[str], ss_seqs: Sequence[str]):

@@ -121,11 +121,20 @@ def _cache_path(key: str) -> str:
 
 
 def _simulate_scores(score_fn, B: int, L: int, seed: int) -> np.ndarray:
+    """Null-model pair scores: AA uniform over the 20 letters, 3Di from
+    the PUBLISHED state background (matrices.get_3di_background).  The
+    3Di background is heavily skewed (one state is ~22%) and mat3di is
+    log-odds against it — a uniform 3Di null puts the scoring system in
+    the linear phase (chance scores grow linearly with length) and makes
+    every fitted E-value meaningless."""
+    from unicore_tpu.matrices import get_3di_background
+
     rng = np.random.RandomState(seed)
+    bg3 = get_3di_background()
     qa = rng.randint(0, 20, (B, L)).astype(np.int32)
-    qs = rng.randint(0, 20, (B, L)).astype(np.int32)
+    qs = rng.choice(20, size=(B, L), p=bg3).astype(np.int32)
     ta = rng.randint(0, 20, (B, L)).astype(np.int32)
-    ts = rng.randint(0, 20, (B, L)).astype(np.int32)
+    ts = rng.choice(20, size=(B, L), p=bg3).astype(np.int32)
     ln = np.full(B, L, np.int32)
     return np.asarray(score_fn(qa, qs, ta, ts, ln, ln), dtype=np.float64)
 

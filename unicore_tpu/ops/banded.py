@@ -218,12 +218,13 @@ def sw_forward_banded(
     saa: jnp.ndarray,   # (21, 21) f32
     s3d: jnp.ndarray,   # (21, 21) f32
     W: int = 256,
-    go: float = 28.0,
-    ge: float = 3.0,
+    go: float = 100.0,
+    ge: float = 10.0,
     w_aa: float = 4.0,
     w_3di: float = 6.0,
     gap_window: int = 0,
     ungapped: bool = False,
+    qc: jnp.ndarray = None,  # (B, Lq) int32 per-query-row score correction
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(best, qend, tend) per pair over the band j in [i+d0-W/2, i+d0+W/2).
 
@@ -246,6 +247,8 @@ def sw_forward_banded(
         w_aa * saa[qa[:, :, None], ta_g]
         + w_3di * s3d[qs[:, :, None], ts_g]
     ).astype(jnp.float32)
+    if qc is not None:
+        s = s + qc[:, :, None].astype(jnp.float32)
     s = jnp.where(valid, s, NEG)
 
     jge = (jnp.arange(W, dtype=jnp.float32) * ge)[None, :]  # (1, W)
@@ -293,12 +296,13 @@ def sw_forward_banded_sharded(
     qa, qs, ta, ts, qlen, tlen, d0, saa, s3d,
     mesh,
     W: int = 256,
-    go: float = 28.0,
-    ge: float = 3.0,
+    go: float = 100.0,
+    ge: float = 10.0,
     w_aa: float = 4.0,
     w_3di: float = 6.0,
     gap_window: int = 0,
     ungapped: bool = False,
+    qc=None,
 ):
     """Banded forward data-parallel over `mesh` (the long-pair analog of
     ops/sw.py::sw_forward_sharded): the pair batch is sharded over the
@@ -314,18 +318,21 @@ def sw_forward_banded_sharded(
         _sm_kw = {"check_rep": False}
 
     axis = mesh.axis_names[0]
+    use_bias = qc is not None
 
-    def local(qa, qs, ta, ts, ql, tl, d0, saa, s3d):
+    def local(qa, qs, ta, ts, ql, tl, d0, *rest):
+        lqc = rest[0] if use_bias else None
+        saa, s3d = rest[-2:]
         return sw_forward_banded(
             qa, qs, ta, ts, ql, tl, d0, saa, s3d,
             W=W, go=go, ge=ge, w_aa=w_aa, w_3di=w_3di,
-            gap_window=gap_window, ungapped=ungapped,
+            gap_window=gap_window, ungapped=ungapped, qc=lqc,
         )
 
     fn = _sm(
         local,
         mesh=mesh,
-        in_specs=(P(axis),) * 7 + (P(), P()),
+        in_specs=(P(axis),) * (7 + (1 if use_bias else 0)) + (P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
         **_sm_kw,
     )
@@ -333,6 +340,8 @@ def sw_forward_banded_sharded(
     rep = NamedSharding(mesh, P())
     args = [jax.device_put(jnp.asarray(x), sh)
             for x in (qa, qs, ta, ts, qlen, tlen, d0)]
+    if use_bias:
+        args.append(jax.device_put(jnp.asarray(qc, jnp.int32), sh))
     args += [jax.device_put(jnp.asarray(saa, jnp.float32), rep),
              jax.device_put(jnp.asarray(s3d, jnp.float32), rep)]
     return jax.jit(fn)(*args)
@@ -342,6 +351,7 @@ def band_scores_ref(
     q_aa: np.ndarray, q_ss: np.ndarray, t_aa: np.ndarray, t_ss: np.ndarray,
     d0: int, W: int,
     saa: np.ndarray, s3d: np.ndarray, w_aa: float, w_3di: float,
+    qc: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side banded score matrix (Lq, W) + the J index map."""
     Lq, Lt = len(q_aa), len(t_aa)
@@ -353,6 +363,8 @@ def band_scores_ref(
         w_aa * saa[q_aa[:, None], t_aa[Jc]]
         + w_3di * s3d[q_ss[:, None], t_ss[Jc]]
     ).astype(np.float64)
+    if qc is not None:
+        s = s + np.asarray(qc)[:, None]
     s[~valid] = NEG
     return s, J
 

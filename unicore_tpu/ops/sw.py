@@ -60,16 +60,24 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 NA = 21  # alphabet size (20 + X) for both AA and 3Di channels
 
-# Default integer scoring units: Foldseek weights ~(1.4 AA : 2.1 3Di,
-# gap 10/1) mapped to small integers (4 : 6, gap 28/3).  Ratios: AA:3Di
-# exactly 2:3 (= 1.4:2.1); gap-open/aa-unit 7.0 (foldseek 7.14);
-# extend/aa-unit 0.75 (foldseek 0.71).  Small integers keep every cell
-# score below 128, so the score block stores exactly in bf16 (half the
-# VMEM of f32), which doubles the usable batch tile.
+# Default integer scoring units: Foldseek's combined structural score is
+# the weighted MEAN (1.4*aa + 2.1*3di) / 3.5 = 0.4*aa + 0.6*3di, scored
+# with gap open 10 / extend 1 in that mean scale.  Internally everything
+# is scaled x10 to small integers: weights 4 : 6 (exact 2:3 = 1.4:2.1)
+# and gaps 100 / 10.  The x10 scale matters: the pre-round-4 mapping
+# (28/3, a x2.857 scale that treated the combined score as a SUM) made
+# gap moves ~3.5x too cheap relative to the trained mat3di's dynamic
+# range, putting gapped chance scores in the LINEAR phase (random
+# background pairs scored ~4.5 per cell and E-values were meaningless).
+# Measured null medians at L=256 under the implied 3Di background:
+# ungapped 171, gapped(100/10) ~171 (log phase), gapped(28/3) 1108.
+# Small integers keep every cell score below 128, so the score block
+# stores exactly in bf16 (half the VMEM of f32), which doubles the
+# usable batch tile.
 W_AA_INT = 4.0
 W_3DI_INT = 6.0
-GAP_OPEN_INT = 28.0
-GAP_EXTEND_INT = 3.0
+GAP_OPEN_INT = 100.0
+GAP_EXTEND_INT = 10.0
 
 
 # ---------------------------------------------------------------------------
@@ -175,16 +183,18 @@ def _sw_kernel(
     # inputs
     qa_ref, qs_ref,              # (BT, SEG, RB) int32 query codes (row block)
     ta_ref, ts_ref,              # (BT, LT) int32 packed target codes
-    saa_ref, s3d_ref,            # (32, 128) f32 substitution matrices
+    # [qc_ref]                   # (BT, SEG, RB) int32 per-query-row score
+    #                            # correction, present iff use_bias
+    # saa_ref, s3d_ref           # (32, 128) f32 substitution matrices
     # outputs
-    best_ref, qend_ref, tend_ref,  # (BT, 128); column s = segment s's pair
+    # best_ref, qend_ref, tend_ref  # (BT, 128); column s = segment s's pair
     # scratch
-    h_ref, f_ref,                # (BT, LT) f32 DP state
-    sc_ref,                      # (BT, RB, LT) bf16 score block (small
-                                 # integer scores are bf16-exact)
-    bb_ref,                      # (BT, LT) f32 running per-column best
-    br_ref,                      # (BT, LT) i32 row index of column best
-    *,
+    # h_ref, f_ref               # (BT, LT) f32 DP state
+    # sc_ref                     # (BT, RB, LT) bf16 score block (small
+    #                            # integer scores are bf16-exact)
+    # bb_ref                     # (BT, LT) f32 running per-column best
+    # br_ref                     # (BT, LT) i32 row index of column best
+    *rest,
     BT: int, RB: int, LT: int, SEG: int,
     go: float, ge: float, w_aa: float, w_3di: float,
     gap_window: int = 0,
@@ -193,12 +203,20 @@ def _sw_kernel(
     ungapped: bool = False,
     unroll: int = 8,
     score_rows: int = 0,
+    use_bias: bool = False,
 ):
     """Segment-packed SW: each lane row carries SEG independent pairs in
     LT/SEG-lane segments.  All per-row vector work (shifts, scan, best
     tracking) is shared across the SEG pairs, and the Kogge-Stone scan
     only needs log2(LT/SEG) steps — a ~SEG-fold throughput win for short
     buckets.  SEG == 1 recovers the plain kernel."""
+    if use_bias:
+        qc_ref = rest[0]
+        rest = rest[1:]
+    else:
+        qc_ref = None
+    (saa_ref, s3d_ref, best_ref, qend_ref, tend_ref,
+     h_ref, f_ref, sc_ref, bb_ref, br_ref) = rest
     b = pl.program_id(0)
     r = pl.program_id(1)
     SEG_L = LT // SEG
@@ -276,6 +294,7 @@ def _sw_kernel(
             ts_row = ts_ref[bb, :][None, :]
             oh = jnp.zeros((SR, SEG * 64), jnp.bool_)
             profs = []
+            bias_cols = jnp.zeros((SR, SEG * 64), jnp.bfloat16) if use_bias else None
             for s in range(SEG):
                 segm = (acol // SEG_L) == s
                 oh_a = ((ta_row == arow) & segm).astype(jnp.bfloat16)
@@ -284,6 +303,12 @@ def _sw_kernel(
                 # -16*128) -> exact in bf16
                 pa = jnp.dot(saa, oh_a.astype(jnp.float32), preferred_element_type=jnp.float32) * w_aa
                 ps = jnp.dot(s3d, oh_s.astype(jnp.float32), preferred_element_type=jnp.float32) * w_3di
+                # composition-bias rides the same MXU matmul (use_bias):
+                # the spare row 31 of segment s's AA channel block holds
+                # 1.0 on the segment's columns; the matching one-hot
+                # column carries the per-query-row correction value (an
+                # integer <= 255, bf16-exact), so score row i of pair
+                # (bb, s) gets +qc[i] at zero DP-path cost.
                 profs.append(pa.astype(jnp.bfloat16))
                 profs.append(ps.astype(jnp.bfloat16))
                 # static SR-row sublane slice of the block's query codes
@@ -292,13 +317,31 @@ def _sw_kernel(
                 qs = qs_ref[bb, s, :][:, None][sub * SR : (sub + 1) * SR]
                 # channel blocks are padded to 32 rows each: AA at s*64, 3Di at s*64+32
                 oh = oh | (rowsel == qa + s * 64) | (rowsel == qs + s * 64 + 32)
-            # pad each (NA2, LT) channel block to 32 rows -> (SEG*64, LT)
-            prof = jnp.concatenate(
-                [jnp.pad(pp, ((0, 32 - NA2), (0, 0))) for pp in profs], axis=0
-            )
-            blk = jnp.dot(
-                oh.astype(jnp.bfloat16), prof, preferred_element_type=jnp.float32
-            )
+                if use_bias:
+                    cv = qc_ref[bb, s, :][:, None][sub * SR : (sub + 1) * SR]
+                    bias_cols = bias_cols + jnp.where(
+                        rowsel == s * 64 + 31, cv, 0
+                    ).astype(jnp.bfloat16)
+            # pad each (NA2, LT) channel block to 32 rows -> (SEG*64, LT);
+            # with bias, row 31 of each AA block is the segment-mask unit
+            # row that broadcasts the per-row correction across the band
+            if use_bias:
+                prof_parts = []
+                for s in range(SEG):
+                    segm_row = ((acol[0:1] // SEG_L) == s).astype(jnp.bfloat16)
+                    prof_parts.append(jnp.concatenate(
+                        [profs[2 * s],
+                         jnp.zeros((32 - NA2 - 1, LT), jnp.bfloat16),
+                         segm_row], axis=0))
+                    prof_parts.append(jnp.pad(profs[2 * s + 1], ((0, 32 - NA2), (0, 0))))
+                prof = jnp.concatenate(prof_parts, axis=0)
+                ohf = oh.astype(jnp.bfloat16) + bias_cols
+            else:
+                prof = jnp.concatenate(
+                    [jnp.pad(pp, ((0, 32 - NA2), (0, 0))) for pp in profs], axis=0
+                )
+                ohf = oh.astype(jnp.bfloat16)
+            blk = jnp.dot(ohf, prof, preferred_element_type=jnp.float32)
             sc_ref[bb, :, :] = blk.astype(sc_ref.dtype)
 
     # ---- DP rows ----
@@ -468,6 +511,10 @@ def sw_forward_pallas(
                           # consumed SR rows at a time, shrinking the
                           # dominant VMEM scratch RB/SR-fold so the batch
                           # tile can grow past 64.  0 = RB (legacy).
+    qc: jnp.ndarray = None,  # (B, Lq) int32 per-query-position score
+                             # correction (composition bias, |qc| <= 255),
+                             # added to every cell of the row.  None = off
+                             # (identical lowering to the tuned config).
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, Lq = qa.shape
     Lt = ta.shape[1]
@@ -498,6 +545,8 @@ def sw_forward_pallas(
         ts = jnp.concatenate([ts, jnp.full((padn, Lt), 20, ts.dtype)])
         qlen = jnp.concatenate([qlen, jnp.ones((padn,), qlen.dtype)])
         tlen = jnp.concatenate([tlen, jnp.ones((padn,), tlen.dtype)])
+        if qc is not None:
+            qc = jnp.concatenate([qc, jnp.zeros((padn, Lq), qc.dtype)])
 
     Brows = Bp // SEG
     LTK = Lt * SEG  # packed lane width
@@ -520,6 +569,10 @@ def sw_forward_pallas(
     qs_p = qs.reshape(Brows, SEG, Lq)
     ta_p = ta.reshape(Brows, SEG * Lt)
     ts_p = ts.reshape(Brows, SEG * Lt)
+    use_bias = qc is not None
+    if use_bias:
+        # zero correction on pad rows (masked cells stay sentinel-bound)
+        qc_p = jnp.where(qmask, qc, 0).astype(jnp.int32).reshape(Brows, SEG, Lq)
 
     # Mosaic requires the trailing block dim to be a multiple of 128 or
     # equal to the full array dim
@@ -579,16 +632,19 @@ def sw_forward_pallas(
         go=float(go), ge=float(ge), w_aa=float(w_aa), w_3di=float(w_3di),
         gap_window=gap_window, chains=chains, dp_dtype=dp_jdt,
         ungapped=ungapped, unroll=unroll, score_rows=SR,
+        use_bias=use_bias,
     )
 
+    qspec = pl.BlockSpec((BT, SEG, RB), lambda b, r, *_: (b, 0, r))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Brows // BT, Lq // RB),
         in_specs=[
-            pl.BlockSpec((BT, SEG, RB), lambda b, r, *_: (b, 0, r)),
+            qspec,
             pl.BlockSpec((BT, SEG, RB), lambda b, r, *_: (b, 0, r)),
             pl.BlockSpec((BT, LTK), lambda b, r, *_: (b, 0)),
             pl.BlockSpec((BT, LTK), lambda b, r, *_: (b, 0)),
+        ] + ([qspec] if use_bias else []) + [
             pl.BlockSpec((32, 128), lambda b, r, *_: (0, 0)),
             pl.BlockSpec((32, 128), lambda b, r, *_: (0, 0)),
         ],
@@ -615,7 +671,8 @@ def sw_forward_pallas(
             jax.ShapeDtypeStruct((Brows, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(qlen, tlen, qa_p, qs_p, ta_p, ts_p, saa_p, s3d_p)
+    )(qlen, tlen, qa_p, qs_p, ta_p, ts_p,
+      *((qc_p,) if use_bias else ()), saa_p, s3d_p)
 
     # unpack: pair p at [p // SEG, p % SEG]
     best = best[:, :SEG].reshape(-1)[:B]
@@ -633,8 +690,11 @@ def build_scores(
     qlen: np.ndarray, tlen: np.ndarray,
     saa: np.ndarray, s3d: np.ndarray,
     w_aa: float = W_AA_INT, w_3di: float = W_3DI_INT,
+    qc: np.ndarray = None,
 ) -> np.ndarray:
     s = w_aa * saa[qa[:, :, None], ta[:, None, :]] + w_3di * s3d[qs[:, :, None], ts[:, None, :]]
+    if qc is not None:
+        s = s + np.asarray(qc)[:, :, None]
     B, Lq, Lt = s.shape
     qm = np.arange(Lq)[None, :] < qlen[:, None]
     tm = np.arange(Lt)[None, :] < tlen[:, None]
@@ -656,6 +716,7 @@ def sw_forward_sharded(
     backend: str = "pallas",
     ungapped: bool = False,
     gap_window: int = 0,
+    qc=None,
 ):
     """Run the forward kernel data-parallel over every device of `mesh`.
 
@@ -673,20 +734,27 @@ def sw_forward_sharded(
         _sm_kw = {"check_rep": False}
 
     axis = mesh.axis_names[0]
+    use_bias = qc is not None
 
     if backend == "pallas":
-        def local(qa, qs, ta, ts, ql, tl, saa, s3d):
+        def local(qa, qs, ta, ts, ql, tl, *rest):
+            lqc = rest[0] if use_bias else None
+            lsaa, ls3d = rest[-2:]
             return sw_forward_pallas(
-                qa, qs, ta, ts, ql, tl, saa, s3d,
+                qa, qs, ta, ts, ql, tl, lsaa, ls3d,
                 go=go, ge=ge, w_aa=w_aa, w_3di=w_3di, ungapped=ungapped,
-                gap_window=gap_window,
+                gap_window=gap_window, qc=lqc,
             )
     else:
-        def local(qa, qs, ta, ts, ql, tl, saa, s3d):
+        def local(qa, qs, ta, ts, ql, tl, *rest):
+            lqc = rest[0] if use_bias else None
+            saa, s3d = rest[-2:]
             s = (
                 w_aa * saa[qa[:, :, None], ta[:, None, :]]
                 + w_3di * s3d[qs[:, :, None], ts[:, None, :]]
             )
+            if lqc is not None:
+                s = s + lqc[:, :, None]
             Lq, Lt = qa.shape[1], ta.shape[1]
             qm = jnp.arange(Lq)[None, :] < ql[:, None]
             tm = jnp.arange(Lt)[None, :] < tl[:, None]
@@ -699,13 +767,15 @@ def sw_forward_sharded(
     fn = _sm(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis),) * (6 + (1 if use_bias else 0)) + (P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
         **_sm_kw,
     )
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     args = [jax.device_put(jnp.asarray(x), sh) for x in (qa, qs, ta, ts, qlen, tlen)]
+    if use_bias:
+        args.append(jax.device_put(jnp.asarray(qc, jnp.int32), sh))
     args += [jax.device_put(jnp.asarray(saa, jnp.float32), rep),
              jax.device_put(jnp.asarray(s3d, jnp.float32), rep)]
     return jax.jit(fn)(*args)

@@ -5,12 +5,14 @@ iqtree `-m JTT+F+I+G`, raxml-ng `--model JTT+F+I+G`, fasttree `-gamma`).
 
 Supported components:
   * base exchangeabilities: "JTT", "LG", "WAG", "POISSON", "BLOSUM62"
-    — empirical matrices (JTT/LG/WAG) are not redistributable-from-memory
-    data tables; offline we derive exchangeabilities from BLOSUM62
-    log-odds (r_ij = 2^(s_ij / 2), the Altschul score<->model duality),
-    which yields a well-formed reversible AA model.  If a real matrix
-    file (PAML .dat format) is present in UNICORE_TPU_MODEL_DIR it is
-    loaded instead, restoring exact JTT/LG/WAG parity.
+    — JTT/LG/WAG use the real published rate tables embedded in
+    phylo/empirical.py (PAML jones.dat / wag.dat / lg.dat data), so the
+    reference's default `JTT+F+I+G` (tree.rs:143-146) is the actual JTT
+    model out of the box.  A PAML .dat file in UNICORE_TPU_MODEL_DIR
+    still takes precedence (authoritative for reproducing a specific
+    PAML distribution).  "BLOSUM62" derives exchangeabilities from
+    BLOSUM62 log-odds (r_ij = 2^(s_ij / 2), the Altschul score<->model
+    duality), which yields a well-formed reversible AA model.
   * +F  — empirical AA frequencies from the alignment
   * +I  — proportion of invariant sites (optimized)
   * +G  — discrete gamma rate heterogeneity, 4 categories (mean method)
@@ -69,7 +71,10 @@ def get_exchangeabilities(name: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         R = np.ones((20, 20))
         np.fill_diagonal(R, 0.0)
         return R, np.full(20, 0.05)
-    # JTT / LG / WAG / BLOSUM62 fall back to BLOSUM62-derived
+    from unicore_tpu.phylo.empirical import empirical_model, has_model
+    if has_model(name):
+        return empirical_model(name)
+    # unknown names / BLOSUM62 fall back to BLOSUM62-derived
     return _blosum_exchangeabilities(), None
 
 
