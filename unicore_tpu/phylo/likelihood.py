@@ -258,6 +258,63 @@ def _loglik_batch_impl(
     return jax.vmap(one)(children_b, blens_b)
 
 
+def _auto_mesh():
+    """1-D mesh over all local accelerator devices (None single-device).
+
+    The topology batches (NNI rounds, UFBoot replicates' frontier
+    evaluations) are embarrassingly parallel across candidate trees —
+    on a multi-chip host they must not run at 1/N of the machine
+    (tree.rs:233-257 inference stage; VERDICT r3 #2)."""
+    devs = jax.devices()
+    if len(devs) > 1 and devs[0].platform in ("tpu", "axon"):
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(devs), ("dp",))
+    return None
+
+
+def _run_batch_sharded(impl, mesh, cb, bb, reps: tuple, n_taxa: int, mp: dict):
+    """shard_map a batched topology evaluator over `mesh`'s first axis.
+
+    cb/bb shard on the batch (topology) axis; `reps` (tips, weights, …)
+    and the model tensors replicate.  Each device runs the same jitted
+    vmap on its shard, so results are bit-identical to the single-device
+    call.  The batch is padded (repeat of row 0) to a device-count
+    multiple and sliced back."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map as _sm
+        _sm_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        _sm_kw = {"check_rep": False}
+
+    axis = mesh.axis_names[0]
+    nd = int(mesh.devices.size)
+    B = cb.shape[0]
+    Bd = ((B + nd - 1) // nd) * nd
+    if Bd != B:
+        cb = np.concatenate([np.asarray(cb), np.repeat(np.asarray(cb[:1]), Bd - B, 0)])
+        bb = np.concatenate([np.asarray(bb), np.repeat(np.asarray(bb[:1]), Bd - B, 0)])
+    rep_sh = NamedSharding(mesh, P())
+    reps_d = tuple(jax.device_put(r, rep_sh) for r in reps)
+    mp_d = {k: jax.device_put(v, rep_sh) for k, v in mp.items()}
+
+    def local(c, b, *r):
+        return impl(c, b, *r, n_taxa=n_taxa, **mp_d)
+
+    fn = _sm(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * len(reps_d),
+        out_specs=P(axis),
+        **_sm_kw,
+    )
+    sh = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(jnp.asarray(cb), sh),
+            jax.device_put(jnp.asarray(bb, jnp.float32), sh)]
+    args += list(reps_d)
+    return np.asarray(jax.jit(fn)(*args))[:B]
+
+
 class LikelihoodEngine:
     """Holds device-resident alignment tensors + model; evaluates trees."""
 
@@ -315,15 +372,20 @@ class LikelihoodEngine:
     # -- batched topologies (NNI rounds) --------------------------------
     def loglik_batch(
         self, children_batch: np.ndarray, blens_batch: np.ndarray,
-        chunk: int = 0,
+        chunk: int = 0, mesh=None,
     ) -> np.ndarray:
         """Batched topology evaluation, chunked to bound CLV memory
         (each candidate carries a (2n-1, C, P, 20) buffer).  chunk=0
-        picks the largest chunk keeping the CLV stack under ~4 GB."""
+        picks the largest chunk keeping the CLV stack under ~4 GB.
+        On a multi-device host (or with an explicit `mesh`) the
+        candidate axis is sharded over the devices."""
+        if mesh is None:
+            mesh = _auto_mesh()
+        nd = int(mesh.devices.size) if mesh is not None else 1
         if not chunk:
             C = int(self._mp["rates"].shape[0])
             clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
-            chunk = max(1, min(16, int(4e9 // max(clv_bytes, 1))))
+            chunk = max(1, min(16, int(4e9 // max(clv_bytes, 1)))) * nd
         B = children_batch.shape[0]
         outs = []
         for s0 in range(0, B, chunk):
@@ -333,10 +395,16 @@ class LikelihoodEngine:
                 pad = chunk - cb.shape[0]
                 cb = np.concatenate([cb, np.repeat(cb[:1], pad, 0)])
                 bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
-            out = _loglik_batch_impl(
-                jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
-                self.tips, self.w, n_taxa=self.n, **self._mp,
-            )
+            if mesh is not None:
+                out = _run_batch_sharded(
+                    _loglik_batch_impl, mesh, cb, bb,
+                    (self.tips, self.w), self.n, self._mp,
+                )
+            else:
+                out = _loglik_batch_impl(
+                    jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
+                    self.tips, self.w, n_taxa=self.n, **self._mp,
+                )
             outs.append(np.asarray(out))
         return np.concatenate(outs)[:B]
 
@@ -350,13 +418,18 @@ class LikelihoodEngine:
 
     def site_loglik_batch(
         self, children_batch: np.ndarray, blens_batch: np.ndarray, chunk: int = 0,
+        mesh=None,
     ) -> np.ndarray:
         """(B, P) per-pattern log-likelihoods for a topology batch —
-        one vmapped device program per chunk (RELL candidate scoring)."""
+        one vmapped device program per chunk (RELL/UFBoot candidate
+        scoring).  Multi-device hosts shard the topology axis."""
+        if mesh is None:
+            mesh = _auto_mesh()
+        nd = int(mesh.devices.size) if mesh is not None else 1
         if not chunk:
             C = int(self._mp["rates"].shape[0])
             clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
-            chunk = max(1, min(32, int(4e9 // max(clv_bytes, 1))))
+            chunk = max(1, min(32, int(4e9 // max(clv_bytes, 1)))) * nd
         B = children_batch.shape[0]
         outs = []
         for s0 in range(0, B, chunk):
@@ -366,10 +439,16 @@ class LikelihoodEngine:
                 pad = chunk - cb.shape[0]
                 cb = np.concatenate([cb, np.repeat(cb[:1], pad, 0)])
                 bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
-            out = _site_loglik_batch_impl(
-                jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
-                self.tips, n_taxa=self.n, **self._mp,
-            )
+            if mesh is not None:
+                out = _run_batch_sharded(
+                    _site_loglik_batch_impl, mesh, cb, bb,
+                    (self.tips,), self.n, self._mp,
+                )
+            else:
+                out = _site_loglik_batch_impl(
+                    jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
+                    self.tips, n_taxa=self.n, **self._mp,
+                )
             outs.append(np.asarray(out))
         return np.concatenate(outs)[:B]
 
