@@ -244,3 +244,36 @@ def test_cascaded_cluster_small():
         fams = {fam_of(m) for m in members}
         assert len(fams) == 1, (rep, members)
     assert len(clusters) == 4
+
+
+def test_traceback_never_fabricates_m8_rows(monkeypatch):
+    """Seedless long windows must compute a REAL alignment (sensitive
+    seeds, then full-window DP) — never emit placeholder rows with
+    fident=0 and a fabricated alnlen (round-3 VERDICT weak #3;
+    search.rs:56-61 convertalis contract)."""
+    import unicore_tpu.ops.banded as banded
+    from unicore_tpu.align.engine import AlignParams, AlignmentEngine, encode_db
+
+    rng = np.random.RandomState(2)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    TDI = "ACDEFGHIKLMNPQRSTVWY"
+    q = "".join(rng.choice(list(AA), 1500))
+    qs = "".join(rng.choice(list(TDI), 1500))
+    # target = query with scattered mutations (high-identity long pair)
+    t = list(q); ts = list(qs)
+    for pos in rng.choice(1500, 150, replace=False):
+        t[pos] = rng.choice(list(AA))
+        ts[pos] = rng.choice(list(TDI))
+    q_aa, q_ss = encode_db([q, "".join(t)], [qs, "".join(ts)])
+    eng = AlignmentEngine(AlignParams(backend="xla", comp_bias_corr=0))
+    hits = eng.align_pairs(q_aa, q_ss, q_aa, q_ss, [(0, 1)])
+    assert hits, "planted long homology must hit"
+
+    # simulate a fully seedless window: both voters return None
+    monkeypatch.setattr(banded, "vote_diagonal", lambda *a, **k: None)
+    monkeypatch.setattr(banded, "vote_diagonal_sensitive", lambda *a, **k: None)
+    eng.traceback_fill(hits, q_aa, q_ss, q_aa, q_ss)
+    h = hits[0]
+    assert h.alnlen > 0
+    assert h.fident > 0.8            # real traceback found the identity
+    assert h.mismatch > 0            # real mismatch count, not placeholder 0
