@@ -26,7 +26,9 @@ import numpy as np
 GGUF_MAGIC = b"GGUF"
 # metadata value types
 T_U8, T_I8, T_U16, T_I16, T_U32, T_I32, T_F32, T_BOOL, T_STR, T_ARR, T_U64, T_I64, T_F64 = range(13)
-GGML_F32, GGML_F16 = 0, 1
+GGML_F32, GGML_F16, GGML_Q8_0 = 0, 1, 8
+Q8_BLOCK = 32  # ggml q8_0: fp16 scale + 32 int8 quants per block
+_Q8_DT = np.dtype([("d", "<f2"), ("q", "i1", (Q8_BLOCK,))])
 _SCALAR = {
     T_U8: ("<B", 1), T_I8: ("<b", 1), T_U16: ("<H", 2), T_I16: ("<h", 2),
     T_U32: ("<I", 4), T_I32: ("<i", 4), T_F32: ("<f", 4), T_BOOL: ("<B", 1),
@@ -104,11 +106,36 @@ def read_gguf(path: str) -> Tuple[Dict, Dict[str, np.ndarray]]:
             arr = np.frombuffer(data, np.float32, count, base + off)
         elif dtype == GGML_F16:
             arr = np.frombuffer(data, np.float16, count, base + off).astype(np.float32)
+        elif dtype == GGML_Q8_0:
+            # foldseek also ships quantized ProstT5 variants; q8_0 is the
+            # common one (createdb.rs:144-155 artifact family)
+            if count % Q8_BLOCK:
+                raise ValueError(f"tensor {name}: q8_0 needs count % {Q8_BLOCK} == 0")
+            blocks = np.frombuffer(data, _Q8_DT, count // Q8_BLOCK, base + off)
+            arr = (blocks["d"].astype(np.float32)[:, None]
+                   * blocks["q"].astype(np.float32)).reshape(-1)
         else:
             raise ValueError(f"tensor {name}: unsupported ggml dtype {dtype} "
-                             "(only F32/F16 weights are expected in prostt5-f16.gguf)")
+                             "(F32/F16/Q8_0 weights are expected in prostt5 ggufs)")
         tensors[name] = arr.reshape(shape)
     return meta, tensors
+
+
+def quantize_q8_0(arr: np.ndarray) -> bytes:
+    """ggml q8_0 quantization (per-32 block: d = amax/127, q = round(x/d))."""
+    flat = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1)
+    if flat.size % Q8_BLOCK:
+        raise ValueError(f"q8_0 needs size % {Q8_BLOCK} == 0, got {flat.size}")
+    x = flat.reshape(-1, Q8_BLOCK)
+    amax = np.abs(x).max(axis=1)
+    d = (amax / 127.0).astype(np.float16)
+    df = d.astype(np.float32)
+    inv = np.where(df > 0, 1.0 / np.where(df > 0, df, 1.0), 0.0)
+    q = np.clip(np.rint(x * inv[:, None]), -127, 127).astype(np.int8)
+    out = np.empty(x.shape[0], dtype=_Q8_DT)
+    out["d"] = d
+    out["q"] = q
+    return out.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -179,8 +206,12 @@ def find_gguf(model_dir: str) -> Optional[str]:
 # writer (tests only — no real GGUF is redistributable offline)
 # ---------------------------------------------------------------------------
 
-def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray]) -> None:
+def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray],
+               quant: Optional[Dict[str, str]] = None) -> None:
+    """`quant`: optional {tensor_name: "q8_0"} — unlisted tensors write
+    as F16 (the prostt5-f16.gguf layout)."""
     align = 32
+    quant = quant or {}
 
     def s(b: bytearray, v: str) -> None:
         enc = v.encode()
@@ -204,14 +235,17 @@ def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray]) -> None:
     blobs = []
     off = 0
     for name, arr in tensors.items():
-        arr16 = np.ascontiguousarray(arr, dtype=np.float16)
         s(head, name)
-        dims = tuple(reversed(arr16.shape))
+        dims = tuple(reversed(np.asarray(arr).shape))
         head += struct.pack("<I", len(dims))
         for d in dims:
             head += struct.pack("<Q", d)
-        head += struct.pack("<IQ", GGML_F16, off)
-        blob = arr16.tobytes()
+        if quant.get(name) == "q8_0":
+            head += struct.pack("<IQ", GGML_Q8_0, off)
+            blob = quantize_q8_0(np.asarray(arr))
+        else:
+            head += struct.pack("<IQ", GGML_F16, off)
+            blob = np.ascontiguousarray(arr, dtype=np.float16).tobytes()
         pad = (-len(blob)) % align
         blobs.append(blob + b"\x00" * pad)
         off += len(blob) + pad
