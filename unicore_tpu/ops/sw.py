@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
 NA = 21  # alphabet size (20 + X) for both AA and 3Di channels
+_PROBE_FOLD = False  # scripts/probe_fold.py perf probe (INEXACT when True)
 
 # Default integer scoring units: Foldseek's combined structural score is
 # the weighted MEAN (1.4*aa + 2.1*3di) / 3.5 = 0.4*aa + 0.6*3di, scored
@@ -364,7 +365,10 @@ def _sw_kernel(
         zero, negc, capc = 0.0, NEG, None
 
     def one_row(i_global, H_prev, F_prev, s_row, BBv, BRv):
-        diag = jnp.where(m0, zero, pltpu.roll(H_prev, shift=1, axis=1))
+        if _PROBE_FOLD:  # perf ceiling probe only — NOT exact
+            diag = pltpu.roll(H_prev, shift=1, axis=1)
+        else:
+            diag = jnp.where(m0, zero, pltpu.roll(H_prev, shift=1, axis=1))
         if ungapped:
             # ungapped diagonal rescore: every diagonal is an independent
             # maximal-segment chain — no gap states at all (the TPU analog
@@ -385,7 +389,10 @@ def _sw_kernel(
             t = jnp.maximum(t, jnp.where(scan_masks[k], rolled, negc))
             d *= 2
             k += 1
-        Pexc = jnp.where(m0, negc, pltpu.roll(t, shift=1, axis=1))
+        if _PROBE_FOLD:  # perf ceiling probe only — NOT exact
+            Pexc = pltpu.roll(t, shift=1, axis=1)
+        else:
+            Pexc = jnp.where(m0, negc, pltpu.roll(t, shift=1, axis=1))
         E = Pexc - jge_go
         H = jnp.maximum(H0, E)
         if int_dp:
