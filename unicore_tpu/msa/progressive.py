@@ -43,10 +43,11 @@ class _Alignment:
         self.cols = cols  # (n, L) int32
 
 
-def _profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.ndarray:
-    """One-hot column profile, fully vectorized (no per-row Python loop):
-    gather every row's residue codes through a flat concatenated code
-    array, then histogram (column, code) pairs with one bincount."""
+def _count_profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.ndarray:
+    """Integer (L, size) residue-count profile, fully vectorized (no
+    per-row Python loop): gather every row's residue codes through a
+    flat concatenated code array, then histogram (column, code) pairs
+    with one bincount."""
     n, L = aln.cols.shape
     flat = np.concatenate([seqs_codes[s] for s in aln.rows])
     lens = np.array([len(seqs_codes[s]) for s in aln.rows], dtype=np.int64)
@@ -57,9 +58,13 @@ def _profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.nda
     codes = flat[gidx]
     cols = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
     key = cols[valid] * size + codes[valid]
-    prof = np.bincount(key, minlength=L * size).reshape(L, size).astype(np.float32)
-    prof /= max(n, 1)
-    return prof
+    return np.bincount(key, minlength=L * size).reshape(L, size).astype(np.int64)
+
+
+def _profile(aln: _Alignment, seqs_codes: List[np.ndarray], size: int) -> np.ndarray:
+    """Frequency profile: counts / n (the classic float form)."""
+    n = aln.cols.shape[0]
+    return _count_profile(aln, seqs_codes, size).astype(np.float32) / max(n, 1)
 
 
 def _merge(aln1: _Alignment, aln2: _Alignment, path: List[Tuple[int, int]]) -> _Alignment:
@@ -145,6 +150,10 @@ class ProgressiveMSA:
         # integer DP units (exactness contract with ops/nw_device.py)
         self.go_q = int(round(QUANT * gap_open))
         self.ge_q = int(round(QUANT * gap_extend))
+        # integer channel weights (x10): the score quantization is pure
+        # integer arithmetic on count profiles (see _score_matrix)
+        self._wA = int(round(10 * self.w_aa))
+        self._wS = int(round(10 * self.w_3di))
 
     # ------------------------------------------------------------------
     def align(
@@ -198,12 +207,46 @@ class ProgressiveMSA:
                     batch.append((g, nid, task.aln[li], task.aln[ri]))
             if not batch:
                 break
-            S_list = [
-                self._score_matrix(a1, a2, tasks[g].aa_codes, tasks[g].ss_codes)
-                for g, _, a1, a2 in batch
-            ]
-            paths = nw_align_batch(S_list, self.go_q, self.ge_q)
-            ncells = float(sum(S.shape[0] * S.shape[1] for S in S_list))
+            # device-complete merges from integer count profiles: score
+            # build on the MXU, forward + traceback on device, O(path)
+            # transfer (nw_align_batch_counts).  Merges too big for the
+            # exact-int32 bound fall back to the host-built score path.
+            from unicore_tpu.ops.nw_device import nw_align_batch_counts
+            entries = [None] * len(batch)
+            big: List[int] = []
+            ncells = 0.0
+            for k, (g, _, a1, a2) in enumerate(batch):
+                task = tasks[g]
+                n1, n2 = a1.cols.shape[0], a2.cols.shape[0]
+                ncells += float(a1.cols.shape[1] * a2.cols.shape[1])
+                if n1 * n2 > 8192:
+                    big.append(k)
+                    continue
+                c1a = _count_profile(a1, task.aa_codes, AA_SIZE)
+                c2a = _count_profile(a2, task.aa_codes, AA_SIZE)
+                c1s = c2s = None
+                if task.ss_codes is not None and self._wS:
+                    c1s = _count_profile(a1, task.ss_codes, TDI_SIZE)
+                    c2s = _count_profile(a2, task.ss_codes, TDI_SIZE)
+                entries[k] = (c1a, c1s, c2a, c2s, n1, n2)
+            paths = [None] * len(batch)
+            small_idx = [k for k in range(len(batch)) if entries[k] is not None]
+            if small_idx:
+                res = nw_align_batch_counts(
+                    [entries[k] for k in small_idx], self.go_q, self.ge_q,
+                    self.saa, self.s3d, self._wA, self._wS,
+                )
+                for k, r in zip(small_idx, res):
+                    paths[k] = r
+            if big:
+                S_list = [
+                    self._score_matrix(batch[k][2], batch[k][3],
+                                       tasks[batch[k][0]].aa_codes,
+                                       tasks[batch[k][0]].ss_codes)
+                    for k in big
+                ]
+                for k, r in zip(big, nw_align_batch(S_list, self.go_q, self.ge_q)):
+                    paths[k] = r
             profiling.add_counter("msa.cells", ncells)
             for (g, nid, a1, a2), (path, _) in zip(batch, paths):
                 task = tasks[g]
@@ -265,16 +308,25 @@ class ProgressiveMSA:
 
     # ------------------------------------------------------------------
     def _score_matrix(self, a1, a2, aa_codes, ss_codes) -> np.ndarray:
-        fa1 = _profile(a1, aa_codes, AA_SIZE)
-        fa2 = _profile(a2, aa_codes, AA_SIZE)
-        fs1 = fs2 = None
-        if ss_codes is not None:
-            fs1 = _profile(a1, ss_codes, TDI_SIZE)
-            fs2 = _profile(a2, ss_codes, TDI_SIZE)
-        S = profile_scores(
-            fa1, fa2, self.saa, fs1, fs2, self.s3d, w_aa=self.w_aa, w_3di=self.w_3di
-        )
-        return quantize_scores(S)
+        """Quantized integer profile-profile scores — PURE INTEGER
+        arithmetic (round-half-up of QUANT*(wA*A + wS*B)/(10*n1*n2) with
+        A/B integer count-profile matmuls and wA/wS = round(10*w)), the
+        exact formula the fused device path computes
+        (ops/nw_device.py::_nw_counts_impl) — so host and device merges
+        stay bit-identical including every tie decision."""
+        C1a = _count_profile(a1, aa_codes, AA_SIZE)
+        C2a = _count_profile(a2, aa_codes, AA_SIZE)
+        n1, n2 = a1.cols.shape[0], a2.cols.shape[0]
+        saa_i = self.saa.astype(np.int64)
+        A = C1a @ saa_i @ C2a.T
+        acc = self._wA * A
+        if ss_codes is not None and self._wS:
+            C1s = _count_profile(a1, ss_codes, TDI_SIZE)
+            C2s = _count_profile(a2, ss_codes, TDI_SIZE)
+            acc = acc + self._wS * (C1s @ self.s3d.astype(np.int64) @ C2s.T)
+        n1n2 = max(n1, 1) * max(n2, 1)
+        N = QUANT * acc
+        return ((N + 5 * n1n2) // (10 * n1n2)).astype(np.int32)
 
     def _pairwise_merge(self, a1, a2, aa_codes, ss_codes) -> _Alignment:
         """Host-reference merge (same integer DP as the device path)."""

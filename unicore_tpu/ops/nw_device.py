@@ -160,6 +160,74 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("maxP",))
+def _nw_decode_device(bits, ei, ej, l1, l2, maxP: int):
+    """Device traceback walk — the exact decision sequence of
+    decode_path's core loop (E preferred, then F, else diagonal),
+    emitted BACKWARD into a fixed (B, maxP, 2) buffer.
+
+    Returns (buf, count, i_stop, j_stop): buf[b, maxP-count:] holds the
+    core path entries in forward order; the host prepends/appends the
+    deterministic end-gap runs (decode_path's pre/post loops).  Replaces
+    the O(cells) direction-bits download with an O(path) one — on a
+    remote-tunnel device the bits transfer dominated the whole MSA
+    stage."""
+    B, L1, L2 = bits.shape
+    bits_flat = bits.reshape(B, L1 * L2)
+
+    def cond(st):
+        i, j, state, pos, done = st[0], st[1], st[2], st[3], st[5]
+        return jnp.logical_not(jnp.all(done))
+
+    def body(st):
+        i, j, state, pos, buf, done = st
+        cell = jnp.take_along_axis(
+            bits_flat, (jnp.maximum(i - 1, 0) * L2 + jnp.maximum(j - 1, 0))[:, None],
+            axis=1,
+        )[:, 0].astype(jnp.int32)
+        in_h = state == 0
+        in_e = state == 1
+        in_f = state == 2
+        to_e = in_h & ((cell & 1) != 0)
+        to_f = in_h & ~to_e & ((cell & 2) != 0)
+        diag = in_h & ~to_e & ~to_f
+        # emits: diagonal (i-1, j-1); E: (-1, j-1); F: (i-1, -1)
+        emit_i = jnp.where(diag | in_f, i - 1, -1)
+        emit_j = jnp.where(diag | in_e, j - 1, -1)
+        do_emit = ~done & (diag | in_e | in_f)
+        pos_new = jnp.where(do_emit, pos - 1, pos)
+        slot = jnp.maximum(pos_new, 0)
+        rows = jnp.arange(B)
+        old_i = buf[rows, slot, 0]
+        old_j = buf[rows, slot, 1]
+        buf = buf.at[rows, slot, 0].set(
+            jnp.where(do_emit, emit_i, old_i).astype(jnp.int16))
+        buf = buf.at[rows, slot, 1].set(
+            jnp.where(do_emit, emit_j, old_j).astype(jnp.int16))
+        # moves: diag: i-1, j-1; E: j-1; F: i-1; transitions: none
+        i_new = jnp.where(~done & (diag | in_f), i - 1, i)
+        j_new = jnp.where(~done & (diag | in_e), j - 1, j)
+        state_new = jnp.where(
+            to_e, 1, jnp.where(
+                to_f, 2, jnp.where(
+                    in_e, jnp.where((cell & 4) != 0, 0, 1),
+                    jnp.where(in_f, jnp.where((cell & 8) != 0, 0, 2), 0))))
+        state_new = jnp.where(done, state, state_new).astype(jnp.int32)
+        done_new = done | (i_new <= 0) | (j_new <= 0)
+        return (i_new, j_new, state_new, pos_new, buf, done_new)
+
+    # ei/ej are 1-based DP coordinates (nw_forward_bits end cells) — the
+    # walk starts AT them, exactly like decode_path
+    i0 = ei
+    j0 = ej
+    done0 = (i0 <= 0) | (j0 <= 0)
+    buf0 = jnp.full((B, maxP, 2), -2, jnp.int16)
+    st = (i0.astype(jnp.int32), j0.astype(jnp.int32),
+          jnp.zeros(B, jnp.int32), jnp.full(B, maxP, jnp.int32), buf0, done0)
+    i, j, state, pos, buf, done = jax.lax.while_loop(cond, body, st)
+    return buf, (jnp.full(B, maxP, jnp.int32) - pos), i, j
+
+
 def nw_forward_bits_sharded(Sp, l1, l2, go: int, ge: int, mesh):
     """Run the NW forward data-parallel over `mesh`'s first axis.
 
@@ -190,6 +258,144 @@ def nw_forward_bits_sharded(Sp, l1, l2, go: int, ge: int, mesh):
     sh = NamedSharding(mesh, P(axis))
     args = [jax.device_put(jnp.asarray(x), sh) for x in (Sp, l1, l2)]
     return jax.jit(fn)(*args)
+
+
+QUANT_INT = 256  # == ops/nw.py QUANT (integer formulation)
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge", "wA", "wS", "maxP"))
+def _nw_counts_impl(
+    c1a, c2a, c1s, c2s,      # (B, L, 32) int16 count profiles (zero-pad)
+    n1, n2, l1, l2,          # (B,) int32
+    saa, s3d,                # (32, 32) f32 integer matrices
+    go: int, ge: int, wA: int, wS: int, maxP: int,
+):
+    """Fused device MSA merge: profile->score on the MXU, integer
+    quantization, NW forward bits, and the traceback walk — one dispatch
+    per batch.  Exactness: counts and matrices are small integers, the
+    two-stage matmul runs at Precision.HIGHEST (f32; every intermediate
+    < 2^24 for n1*n2 <= 16384, asserted host-side), and the quantization
+    is pure integer arithmetic — bit-identical to the host reference
+    (ops/nw.py nw_align on the same integer formula)."""
+    B, L, _ = c1a.shape
+    hi = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("bik,kl,bjl->bij", c1a.astype(jnp.float32), saa,
+                   c2a.astype(jnp.float32), precision=hi)
+    Bm = jnp.einsum("bik,kl,bjl->bij", c1s.astype(jnp.float32), s3d,
+                    c2s.astype(jnp.float32), precision=hi)
+    # all-int32 arithmetic (TPU has no int64): numerator bounded by
+    # QUANT*(wA*11+wS*17)*n1*n2 + 5*n1*n2 < 2^31 for n1*n2 <= 8192
+    # (asserted host-side); larger merges take the host path
+    N = QUANT_INT * (wA * A.astype(jnp.int32) + wS * Bm.astype(jnp.int32))
+    n1n2 = (n1 * n2)[:, None, None]
+    D = 10 * n1n2
+    Sq = jnp.floor_divide(N + 5 * n1n2, D).astype(jnp.int32)
+    ri = jnp.arange(L, dtype=jnp.int32)
+    valid = (ri[None, :, None] < l1[:, None, None]) & \
+            (ri[None, None, :] < l2[:, None, None])
+    Sq = jnp.where(valid, Sq, PAD_SCORE)
+    bits, ei, ej, score = nw_forward_bits(Sq, l1, l2, go, ge)
+    buf, cnt, i_stop, j_stop = _nw_decode_device(bits, ei, ej, l1, l2, maxP)
+    return buf, cnt, i_stop, j_stop, ei, ej, score
+
+
+def nw_align_batch_counts(
+    entries: List[tuple], go: int, ge: int,
+    saa: np.ndarray, s3d: np.ndarray, wA: int, wS: int,
+    batch_size: int = 64,
+) -> List[Tuple[List[Tuple[int, int]], float]]:
+    """Device-complete MSA merges from integer COUNT profiles.
+
+    `entries`: per merge (C1a (L1,21) int, C1s or None, C2a (L2,21),
+    C2s or None, n1, n2).  Score построение, quantization, NW forward
+    and traceback all run on the device in ONE dispatch per batch;
+    only (path, score) transfers back — O(path), not O(cells).  The
+    tunnel-bound bits download and the host profile-matmul were 94% of
+    the MSA stage wall (BENCH_NOTES round 4).
+
+    Quantization: Sq = round_half_up(QUANT * (wA*A + wS*B) / (10*n1*n2))
+    in pure integer arithmetic, where A/B are integer count-profile
+    matmuls — the HOST reference (msa/progressive.py::_score_matrix)
+    computes the identical formula, so device and host paths stay
+    bit-identical including every tie decision."""
+    out: List = [None] * len(entries)
+    buckets = {}
+    for k, e in enumerate(entries):
+        L1 = e[0].shape[0]
+        L2 = e[2].shape[0]
+        assert int(e[4]) * int(e[5]) <= 8192, \
+            "n1*n2 too large for exact int32 quantization (host path required)"
+        if L1 == 0 or L2 == 0:
+            path = [(-1, j) for j in range(L2)] + [(i, -1) for i in range(L1)]
+            out[k] = (path, 0.0)
+            continue
+        buckets.setdefault(_bucket(max(L1, L2)), []).append(k)
+
+    saa_p = np.zeros((32, 32), np.float32)
+    saa_p[:21, :21] = saa[:21, :21]
+    s3d_p = np.zeros((32, 32), np.float32)
+    s3d_p[:21, :21] = s3d[:21, :21]
+
+    inflight = []
+    for Lb, idxs in sorted(buckets.items()):
+        bsz = max(1, min(batch_size, (64 << 20) // (Lb * Lb)))
+        for s0 in range(0, len(idxs), bsz):
+            chunk = idxs[s0 : s0 + bsz]
+            B = bsz if len(idxs) > bsz else min(
+                bsz, max(4, 1 << (len(chunk) - 1).bit_length())
+            )
+            # int16 counts: n <= 8192 bound keeps every count in range;
+            # halves the host packing + tunnel upload vs int32
+            c1a = np.zeros((B, Lb, 32), np.int16)
+            c2a = np.zeros((B, Lb, 32), np.int16)
+            c1s = np.zeros((B, Lb, 32), np.int16)
+            c2s = np.zeros((B, Lb, 32), np.int16)
+            n1 = np.ones(B, np.int32)
+            n2 = np.ones(B, np.int32)
+            l1 = np.ones(B, np.int32)
+            l2 = np.ones(B, np.int32)
+            for row, k in enumerate(chunk):
+                e1a, e1s, e2a, e2s, en1, en2 = entries[k]
+                a, b = e1a.shape[0], e2a.shape[0]
+                c1a[row, :a, :21] = e1a
+                c2a[row, :b, :21] = e2a
+                if e1s is not None:
+                    c1s[row, :a, :21] = e1s
+                    c2s[row, :b, :21] = e2s
+                n1[row], n2[row] = en1, en2
+                l1[row], l2[row] = a, b
+            res = _nw_counts_impl(
+                jnp.asarray(c1a), jnp.asarray(c2a), jnp.asarray(c1s),
+                jnp.asarray(c2s), jnp.asarray(n1), jnp.asarray(n2),
+                jnp.asarray(l1), jnp.asarray(l2),
+                jnp.asarray(saa_p), jnp.asarray(s3d_p),
+                int(go), int(ge), int(wA), int(wS), 2 * Lb,
+            )
+            inflight.append((chunk, res))
+    for chunk, (buf, cnt, i_stop, j_stop, ei, ej, score) in inflight:
+        buf = np.asarray(buf)
+        cnt, i_stop, j_stop = np.asarray(cnt), np.asarray(i_stop), np.asarray(j_stop)
+        ei, ej, score = np.asarray(ei), np.asarray(ej), np.asarray(score)
+        maxP = buf.shape[1]
+        for row, k in enumerate(chunk):
+            L1 = entries[k][0].shape[0]
+            L2 = entries[k][2].shape[0]
+            # assemble exactly like decode_path: trailing end-gaps, core
+            # (already forward-ordered in buf), then leading end-gaps
+            core = buf[row, maxP - cnt[row]:]
+            i_s, j_s = int(i_stop[row]), int(j_stop[row])
+            # decode_path's backward emit order, reversed: leading
+            # query-gaps (rows 0..i_stop-1) then target-gaps
+            # (cols 0..j_stop-1), the core, then trailing gaps for the
+            # unaligned tails (rows ei.., cols ej.. — ei/ej are 1-based
+            # DP end coords, i.e. the first unaligned 0-based index)
+            lead = ([(ii, -1) for ii in range(i_s)]
+                    + [(-1, jj) for jj in range(j_s)])
+            trail = ([(ii, -1) for ii in range(int(ei[row]), L1)]
+                     + [(-1, jj) for jj in range(int(ej[row]), L2)])
+            path = lead + [(int(a), int(b)) for a, b in core] + trail
+            out[k] = (path, float(score[row]))
+    return out
 
 
 def nw_align_batch(
