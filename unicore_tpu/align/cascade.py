@@ -43,6 +43,36 @@ def _canopy_threshold(nrep: int) -> float:
     return 3.0 + float(np.sqrt(2.0 * np.log(max(nrep, 2))))
 
 
+def _robust_null(shared: np.ndarray, exp: np.ndarray,
+                 sample: int = 200_000) -> Tuple[float, float]:
+    """Empirically calibrate the chance model of shared k-mer counts.
+
+    The theoretical null (shared ~ kb_i*kb_j/dim with Poisson-ish
+    variance) assumes independently hashed features; real feature bags
+    are CORRELATED across sequences whenever an input channel has a
+    skewed symbol distribution — measured on the config-4 dataset the
+    mock 3Di's ~24 skewed states made unrelated pairs share ~alpha > 1
+    times the independent expectation, and the theoretical z-scores
+    mis-assigned 94% of canopy candidates.  (Real 3Di is skewed too —
+    its background has a ~12% state — so this is not just a mock
+    artifact.)  Model: shared_null ~ alpha*exp + noise*sqrt(exp);
+    alpha = median(shared/exp) and sigma = 1.4826*MAD of the normalized
+    residual, both robust because true matches are a small minority of
+    any chunk-vs-reps matrix at scale.  Returns (alpha, sigma)."""
+    exp = np.maximum(exp, 1e-9)
+    r = (shared / exp).ravel()
+    if r.size > sample:
+        r_s = r[:: max(1, r.size // sample)]
+    else:
+        r_s = r
+    alpha = float(np.median(r_s))
+    t = ((shared - alpha * exp) / np.sqrt(exp)).ravel()
+    if t.size > sample:
+        t = t[:: max(1, t.size // sample)]
+    sigma = 1.4826 * float(np.median(np.abs(t - np.median(t))))
+    return alpha, max(sigma, 1e-6)
+
+
 def canopy_assign(
     aa_seqs: List[str], ss_seqs: List[str],
     dim: int = DEFAULT_DIM, chunk: int = 2048,
@@ -63,6 +93,7 @@ def canopy_assign(
     reps: List[int] = []
     members: Dict[int, List[int]] = {}
     rep_feats: List[np.ndarray] = []
+    calib = (1.0, 1.0)  # (alpha, sigma) of the empirical null
 
     for c0 in range(0, N, chunk):
         idxs = order[c0 : c0 + chunk]
@@ -83,7 +114,8 @@ def canopy_assign(
             shared = np.asarray(jnp.dot(jnp.asarray(F), jnp.asarray(R.T)))
             shared = shared[: len(idxs), :nrep]
             expected = kbits[idxs][:, None] * kbits[reps][None, :] / dim
-            z = (shared - expected) / np.sqrt(expected + 1.0)
+            alpha, sigma = calib = _robust_null(shared, expected)
+            z = (shared - alpha * expected) / (np.sqrt(expected + 1.0) * sigma)
             # length-ratio bound implied by bidirectional coverage
             lr = (
                 np.minimum(lens[idxs][:, None], lens[reps][None, :])
@@ -124,7 +156,13 @@ def canopy_assign(
                 Zc = Fc @ Fc.T
             kb = kbits[idxs].astype(np.float64)
             exp_c = kb[:, None] * kb[None, :] / dim
-            zmat = (Zc - exp_c) / np.sqrt(exp_c + 1.0)
+            if not reps:
+                # first chunk: calibrate the null on the chunk gram (the
+                # diagonal self-matches are a sqrt(n) minority, far
+                # inside the medians' breakdown point)
+                calib = _robust_null(Zc, exp_c)
+            alpha_c, sigma_c = calib
+            zmat = (Zc - alpha_c * exp_c) / (np.sqrt(exp_c + 1.0) * sigma_c)
             lr_c = (
                 np.minimum(lens[idxs][:, None], lens[idxs][None, :])
                 / np.maximum(lens[idxs][:, None], lens[idxs][None, :])
@@ -145,7 +183,9 @@ def canopy_assign(
                     lr_feats = np.stack([feats[r] for r in local_reps])
                     shared_l = lr_feats @ feats[i]
                     expected_l = kbits[i] * kbits[local_reps] / dim
-                    z_l = (shared_l - expected_l) / np.sqrt(expected_l + 1.0)
+                    al, sg = calib
+                    z_l = (shared_l - al * expected_l) / (
+                        np.sqrt(expected_l + 1.0) * sg)
                     ratio = np.minimum(lens[i], lens[local_reps]) / np.maximum(
                         lens[i], lens[local_reps]
                     )
