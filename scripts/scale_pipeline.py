@@ -344,6 +344,14 @@ def main():
             phase_report(work)
         return
 
+    def chk_done(path: str) -> bool:
+        # reference .chk semantics: "0" written at stage entry, "1" at
+        # completion — existence alone marks a CRASHED stage as done
+        try:
+            return open(path).read().strip() == "1"
+        except OSError:
+            return False
+
     log = []
     t_start = time.time()
     out = os.path.join(work, "out")
@@ -356,7 +364,7 @@ def main():
     else:
         print("gen: exists, skipping", flush=True)
 
-    if not os.path.exists(os.path.join(out, "proteome", "createdb.chk")):
+    if not chk_done(os.path.join(out, "proteome", "createdb.chk")):
         _run_cli(work, ["createdb", os.path.join(work, "in"),
                         os.path.join(out, "proteome", "proteome_db"),
                         "mock", "-v", "1"], log)
@@ -375,19 +383,19 @@ def main():
             continue
         _run_phase(base + ["--phase", "verify", "--chunk", str(i)], log)
 
-    if not os.path.exists(os.path.join(out, "cluster", "cluster.chk")):
+    if not chk_done(os.path.join(out, "cluster", "cluster.chk")):
         _run_phase(base + ["--phase", "reps"], log)
     else:
         print("reps: exists, skipping", flush=True)
 
-    if not os.path.exists(os.path.join(out, "profile", "profile.chk")):
+    if not chk_done(os.path.join(out, "profile", "profile.chk")):
         _run_cli(work, ["profile", os.path.join(out, "proteome", "proteome_db"),
                         os.path.join(out, "cluster", "clust.tsv"),
                         os.path.join(out, "profile"), "-v", "1"], log)
     else:
         print("profile: exists, skipping", flush=True)
 
-    if not os.path.exists(os.path.join(out, "tree", "tree.chk")):
+    if not chk_done(os.path.join(out, "tree", "tree.chk")):
         _run_cli(work, ["tree", os.path.join(out, "proteome", "proteome_db"),
                         os.path.join(out, "profile"), os.path.join(out, "tree"),
                         "--aligner", "foldmason",

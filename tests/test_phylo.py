@@ -345,3 +345,75 @@ def test_ufboot_per_replicate_semantics():
     ))
     diffs = [abs(uf[k] - pooled[k]) for k in uf if k in pooled]
     assert diffs and max(diffs) > 1.0, (uf, pooled)
+
+
+def test_pattern_chunked_likelihood_matches_unchunked():
+    """Supermatrix-scale memory safety (config-4 OOM, round 4): the
+    pattern-chunked likelihood/blens/site paths must match the
+    unchunked computation to float tolerance."""
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unicore_tpu.phylo.likelihood import (
+        LikelihoodEngine, _loglik_batch_impl, _optimize_blens_impl,
+        _pad_patterns, _site_loglik_batch_impl, make_root_binary,
+        tree_to_arrays, pattern_chunk_for,
+    )
+    from unicore_tpu.phylo.models import ModelSpec, SubstModel
+    from unicore_tpu.phylo.newick import Node
+
+    rng = np.random.RandomState(6)
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    base = rng.choice(list(AA), 700)
+    seqs = []
+    for _ in range(7):
+        s = base.copy()
+        pos = rng.choice(700, 150, replace=False)
+        s[pos] = rng.choice(list(AA), len(pos))
+        seqs.append("".join(s))
+    eng = LikelihoodEngine([f"t{i}" for i in range(7)], seqs,
+                           SubstModel.build(ModelSpec.parse("JTT+G")))
+    nodes = [Node(name=f"t{i}") for i in range(7)]
+    rng.shuffle(nodes)
+    while len(nodes) > 1:
+        a = nodes.pop(); b = nodes.pop()
+        p = Node(); p.add(a); p.add(b)
+        a.length = b.length = 0.12
+        nodes.append(p)
+    cb, bb = tree_to_arrays(make_root_binary(nodes[0]), eng.names)
+
+    chunk = 128  # force chunking (P ~ several hundred patterns)
+    tips_p, w_p = _pad_patterns(eng.tips, eng.w, chunk)
+    P = int(eng.tips.shape[1])
+
+    full = np.asarray(_loglik_batch_impl(
+        jnp.asarray(cb)[None], jnp.asarray(bb, jnp.float32)[None],
+        eng.tips, eng.w, n_taxa=eng.n, **eng._mp))
+    chunked = np.asarray(_loglik_batch_impl(
+        jnp.asarray(cb)[None], jnp.asarray(bb, jnp.float32)[None],
+        tips_p, w_p, n_taxa=eng.n, pattern_chunk=chunk, **eng._mp))
+    assert np.allclose(full, chunked, rtol=1e-5, atol=1e-2)
+
+    sfull = np.asarray(_site_loglik_batch_impl(
+        jnp.asarray(cb)[None], jnp.asarray(bb, jnp.float32)[None],
+        eng.tips, n_taxa=eng.n, **eng._mp))
+    tips_only, _ = _pad_patterns(eng.tips, eng.w, chunk)
+    schunk = np.asarray(_site_loglik_batch_impl(
+        jnp.asarray(cb)[None], jnp.asarray(bb, jnp.float32)[None],
+        tips_only, n_taxa=eng.n, pattern_chunk=chunk, **eng._mp))[:, :P]
+    assert np.allclose(sfull, schunk, rtol=1e-5, atol=1e-3)
+
+    bfull, llfull = _optimize_blens_impl(
+        jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
+        eng.tips, eng.w, n_taxa=eng.n, steps=40, **eng._mp)
+    bch, llch = _optimize_blens_impl(
+        jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
+        tips_p, w_p, n_taxa=eng.n, steps=40, pattern_chunk=chunk, **eng._mp)
+    assert abs(float(llfull) - float(llch)) < 0.05
+    assert np.allclose(np.asarray(bfull), np.asarray(bch), rtol=2e-3, atol=2e-4)
+
+    # auto-selection kicks in for huge pattern counts
+    assert pattern_chunk_for(100, 4, 85000) > 0
+    assert pattern_chunk_for(8, 4, 500) == 0

@@ -61,12 +61,20 @@ def ufboot_supports(
     split = fraction of replicates whose final tree contains it.
     """
     from unicore_tpu.phylo.likelihood import (
-        arrays_to_tree, make_root_binary, tree_to_arrays,
+        SEARCH_PATTERN_CAP, arrays_to_tree, make_root_binary,
+        subsampled_engine, tree_to_arrays,
     )
     from unicore_tpu.phylo.search import (
         apply_nni_move, copy_tree, nni_moves_arrays,
     )
 
+    if hasattr(engine, "tips") and \
+            int(engine.tips.shape[1]) > 2 * SEARCH_PATTERN_CAP:
+        # supermatrix scale: replicate climbs on the weighted pattern
+        # subsample (site resampling OF an unbiased site resample — the
+        # support signal survives; full-data climbs would be TFLOP-hours
+        # of 20-wide einsums per round)
+        engine = subsampled_engine(engine, seed=seed)
     n = engine.n
     W = bootstrap_weights(
         np.asarray(engine.weights, dtype=np.float64), n_boot, seed

@@ -209,17 +209,114 @@ def _loglik_core(
     return jnp.sum(log_site * weights)
 
 
-@functools.partial(jax.jit, static_argnames=("n_taxa", "steps"))
+# topology SEARCH happens on at most this many patterns (see
+# subsampled_engine); final branch lengths / lnL always use full data
+SEARCH_PATTERN_CAP = 8192
+
+
+def subsampled_engine(eng, k: int = SEARCH_PATTERN_CAP, seed: int = 12345):
+    """Weighted-bootstrap pattern subsample of a LikelihoodEngine for
+    topology SEARCH.
+
+    k patterns are drawn with replacement proportional to the pattern
+    weights; duplicate draws merge into counts rescaled so the total
+    site count is preserved — an unbiased RELL-style estimator of the
+    log-likelihood.  Rationale: on a 100-taxa concatenated supermatrix
+    (~85K patterns) a full-data NNI round is ~40 TFLOP of 20-wide
+    einsums (~2% MXU utilization) — hours per round — while topology
+    DECISIONS are robust to site resampling (the same principle UFBoot
+    rests on).  The subsample also brings the base-CLV cache back under
+    memory, re-enabling the O(depth) incremental NNI path.  Search
+    returns to the FULL engine for final branch lengths and lnL
+    (TreeSearch.optimize)."""
+    P = int(eng.patterns.shape[1])
+    if P <= k:
+        return eng
+    rng = np.random.RandomState(seed)
+    wsum = float(eng.weights.sum())
+    probs = np.asarray(eng.weights, np.float64) / wsum
+    draws = rng.choice(P, size=k, p=probs)
+    idx, cnt = np.unique(draws, return_counts=True)
+    sub = object.__new__(type(eng))
+    sub.names = eng.names
+    sub.n = eng.n
+    sub.L = eng.L
+    sub.patterns = eng.patterns[:, idx]
+    sub.n_patterns_real = len(idx)
+    sub.weights = (cnt * (wsum / k)).astype(np.float32)
+    sub.tips = eng.tips[:, idx, :]
+    sub.w = jnp.asarray(sub.weights)
+    sub.model = eng.model
+    sub._mp = eng._mp
+    return sub
+
+
+def pattern_chunk_for(n_taxa: int, n_cat: int, P: int,
+                      budget_bytes: float = 8e8) -> int:
+    """Pattern-chunk size bounding the CLV buffer (2n-1, C, chunk, 20)
+    f32 to ~`budget_bytes` — 0 when the whole thing already fits.
+
+    Sites are independent, so every likelihood is a SUM over pattern
+    chunks; chunking (lax.map, plus jax.checkpoint where gradients flow)
+    turns the O(nodes * patterns) CLV memory into O(nodes * chunk).
+    Without it a 100-taxa concatenated supermatrix (85K patterns) holds
+    a 5.4 GB CLV buffer — and its autodiff residuals OOMed the chip in
+    branch-length optimization (config-4 run, round 4)."""
+    clv_bytes = (2 * n_taxa - 1) * n_cat * P * 20 * 4
+    if clv_bytes <= budget_bytes:
+        return 0
+    chunk = 1024
+    while (2 * n_taxa - 1) * n_cat * (chunk * 2) * 20 * 4 <= budget_bytes \
+            and chunk * 2 < P:
+        chunk *= 2
+    return chunk
+
+
+def _pad_patterns(tips, weights, chunk: int):
+    """Pad the pattern axis to a chunk multiple (all-ones tips with zero
+    weight contribute exactly 0 to the summed log-likelihood)."""
+    P = tips.shape[1]
+    Pp = ((P + chunk - 1) // chunk) * chunk
+    if Pp == P:
+        return tips, weights
+    padn = Pp - P
+    tips = jnp.concatenate(
+        [tips, jnp.ones((tips.shape[0], padn, 20), tips.dtype)], axis=1)
+    weights = jnp.concatenate([weights, jnp.zeros(padn, weights.dtype)])
+    return tips, weights
+
+
+def _chunked_loglik(children, blens, tips, weights, mp, n_taxa: int,
+                    chunk: int, remat: bool):
+    """Sum of per-chunk _loglik_core over the pattern axis (lax.map)."""
+    n = tips.shape[0]
+    K = tips.shape[1] // chunk
+    tipsK = jnp.moveaxis(tips.reshape(n, K, chunk, 20), 1, 0)
+    wK = weights.reshape(K, chunk)
+
+    def chunk_ll(tw):
+        t_k, w_k = tw
+        return _loglik_core(children, blens, t_k, w_k, n_taxa=n_taxa, **mp)
+
+    fn = jax.checkpoint(chunk_ll) if remat else chunk_ll
+    return jax.lax.map(fn, (tipsK, wK)).sum()
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa", "steps", "pattern_chunk"))
 def _optimize_blens_impl(
     children, blens0, tips, weights, eigvals, U, Uinv, pi, rates, props,
-    n_taxa, steps, lr=0.05,
+    n_taxa, steps, lr=0.05, pattern_chunk=0,
 ):
     """Whole adam loop on log-branch-lengths inside one jit."""
     import optax
 
     x0 = jnp.log(jnp.clip(blens0, 1e-7, None))
+    mp = dict(eigvals=eigvals, U=U, Uinv=Uinv, pi=pi, rates=rates, props=props)
 
     def negll(xx):
+        if pattern_chunk:
+            return -_chunked_loglik(children, jnp.exp(xx), tips, weights,
+                                    mp, n_taxa, pattern_chunk, remat=True)
         return -_loglik_core(
             children, jnp.exp(xx), tips, weights, eigvals, U, Uinv, pi,
             rates, props, n_taxa,
@@ -246,11 +343,17 @@ def _optimize_blens_impl(
     return jnp.exp(best_x), -best_v
 
 
-@functools.partial(jax.jit, static_argnames=("n_taxa",))
+@functools.partial(jax.jit, static_argnames=("n_taxa", "pattern_chunk"))
 def _loglik_batch_impl(
-    children_b, blens_b, tips, weights, eigvals, U, Uinv, pi, rates, props, n_taxa
+    children_b, blens_b, tips, weights, eigvals, U, Uinv, pi, rates, props,
+    n_taxa, pattern_chunk=0,
 ):
+    mp = dict(eigvals=eigvals, U=U, Uinv=Uinv, pi=pi, rates=rates, props=props)
+
     def one(c, b):
+        if pattern_chunk:
+            return _chunked_loglik(c, b, tips, weights, mp, n_taxa,
+                                   pattern_chunk, remat=False)
         return _loglik_core(
             c, b, tips, weights, eigvals, U, Uinv, pi, rates, props, n_taxa
         )
@@ -362,12 +465,8 @@ class LikelihoodEngine:
 
     # -- single tree (routed through the batched entry: one compile) ----
     def loglik(self, children: np.ndarray, blens: np.ndarray) -> float:
-        return float(
-            _loglik_batch_impl(
-                jnp.asarray(children)[None], jnp.asarray(blens, jnp.float32)[None],
-                self.tips, self.w, n_taxa=self.n, **self._mp,
-            )[0]
-        )
+        return float(self.loglik_batch(
+            np.asarray(children)[None], np.asarray(blens)[None], mesh=False)[0])
 
     # -- batched topologies (NNI rounds) --------------------------------
     def loglik_batch(
@@ -381,11 +480,19 @@ class LikelihoodEngine:
         candidate axis is sharded over the devices."""
         if mesh is None:
             mesh = _auto_mesh()
+        elif mesh is False:  # explicit single-device (no auto mesh)
+            mesh = None
         nd = int(mesh.devices.size) if mesh is not None else 1
+        C = int(self._mp["rates"].shape[0])
+        P = int(self.tips.shape[1])
+        pchunk = pattern_chunk_for(self.n, C, P)
+        tips, w = self.tips, self.w
+        if pchunk:
+            tips, w = _pad_patterns(tips, w, pchunk)
         if not chunk:
-            C = int(self._mp["rates"].shape[0])
-            clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
+            clv_bytes = (2 * self.n - 1) * C * min(P, pchunk or P) * 20 * 4
             chunk = max(1, min(16, int(4e9 // max(clv_bytes, 1)))) * nd
+        impl = functools.partial(_loglik_batch_impl, pattern_chunk=pchunk)
         B = children_batch.shape[0]
         outs = []
         for s0 in range(0, B, chunk):
@@ -397,24 +504,21 @@ class LikelihoodEngine:
                 bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
             if mesh is not None:
                 out = _run_batch_sharded(
-                    _loglik_batch_impl, mesh, cb, bb,
-                    (self.tips, self.w), self.n, self._mp,
+                    impl, mesh, cb, bb,
+                    (tips, w), self.n, self._mp,
                 )
             else:
-                out = _loglik_batch_impl(
+                out = impl(
                     jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
-                    self.tips, self.w, n_taxa=self.n, **self._mp,
+                    tips, w, n_taxa=self.n, **self._mp,
                 )
             outs.append(np.asarray(out))
         return np.concatenate(outs)[:B]
 
     # -- per-pattern site log-likelihoods (for RELL bootstrap) ----------
     def site_loglik(self, children: np.ndarray, blens: np.ndarray) -> np.ndarray:
-        fn = _site_loglik(
-            jnp.asarray(children), jnp.asarray(blens, jnp.float32),
-            self.tips, n_taxa=self.n, **self._mp,
-        )
-        return np.asarray(fn)
+        return self.site_loglik_batch(
+            np.asarray(children)[None], np.asarray(blens)[None], mesh=False)[0]
 
     def site_loglik_batch(
         self, children_batch: np.ndarray, blens_batch: np.ndarray, chunk: int = 0,
@@ -425,11 +529,19 @@ class LikelihoodEngine:
         scoring).  Multi-device hosts shard the topology axis."""
         if mesh is None:
             mesh = _auto_mesh()
+        elif mesh is False:  # explicit single-device (no auto mesh)
+            mesh = None
         nd = int(mesh.devices.size) if mesh is not None else 1
+        C = int(self._mp["rates"].shape[0])
+        P = int(self.tips.shape[1])
+        pchunk = pattern_chunk_for(self.n, C, P)
+        tips = self.tips
+        if pchunk:
+            tips, _ = _pad_patterns(tips, self.w, pchunk)
         if not chunk:
-            C = int(self._mp["rates"].shape[0])
-            clv_bytes = (2 * self.n - 1) * C * int(self.patterns.shape[1]) * 20 * 4
+            clv_bytes = (2 * self.n - 1) * C * min(P, pchunk or P) * 20 * 4
             chunk = max(1, min(32, int(4e9 // max(clv_bytes, 1)))) * nd
+        impl = functools.partial(_site_loglik_batch_impl, pattern_chunk=pchunk)
         B = children_batch.shape[0]
         outs = []
         for s0 in range(0, B, chunk):
@@ -441,16 +553,18 @@ class LikelihoodEngine:
                 bb = np.concatenate([bb, np.repeat(bb[:1], pad, 0)])
             if mesh is not None:
                 out = _run_batch_sharded(
-                    _site_loglik_batch_impl, mesh, cb, bb,
-                    (self.tips,), self.n, self._mp,
+                    impl, mesh, cb, bb,
+                    (tips,), self.n, self._mp,
                 )
             else:
-                out = _site_loglik_batch_impl(
+                out = impl(
                     jnp.asarray(cb), jnp.asarray(bb, jnp.float32),
-                    self.tips, n_taxa=self.n, **self._mp,
+                    tips, n_taxa=self.n, **self._mp,
                 )
             outs.append(np.asarray(out))
-        return np.concatenate(outs)[:B]
+        # pattern padding adds trailing zero-weight columns; slice back
+        out_arr = np.concatenate(outs)[:B]
+        return out_arr[:, :P] if out_arr.ndim == 2 else out_arr
 
     # -- incremental NNI evaluation (partial-CLV reuse) ------------------
     def loglik_nni_moves(
@@ -548,9 +662,15 @@ class LikelihoodEngine:
         self, children: np.ndarray, blens: np.ndarray,
         steps: int = 200, lr: float = 0.05,
     ) -> Tuple[np.ndarray, float]:
+        chunk = pattern_chunk_for(self.n, int(self._mp["rates"].shape[0]),
+                                  int(self.tips.shape[1]))
+        tips, w = self.tips, self.w
+        if chunk:
+            tips, w = _pad_patterns(tips, w, chunk)
         blens_opt, ll = _optimize_blens_impl(
             jnp.asarray(children), jnp.asarray(blens, jnp.float32),
-            self.tips, self.w, n_taxa=self.n, steps=steps, **self._mp,
+            tips, w, n_taxa=self.n, steps=steps, pattern_chunk=chunk,
+            **self._mp,
         )
         out = np.asarray(blens_opt, dtype=np.float64)
         out[2 * self.n - 2] = 0.0
@@ -680,11 +800,22 @@ def _loglik_incremental_impl(
     return jax.vmap(one)(chain_l, chain_r, chain_lb, chain_rb, chain_lsrc, chain_rsrc)
 
 
-@functools.partial(jax.jit, static_argnames=("n_taxa",))
+@functools.partial(jax.jit, static_argnames=("n_taxa", "pattern_chunk"))
 def _site_loglik_batch_impl(
-    children_b, blens_b, tips, eigvals, U, Uinv, pi, rates, props, n_taxa
+    children_b, blens_b, tips, eigvals, U, Uinv, pi, rates, props, n_taxa,
+    pattern_chunk=0,
 ):
     def one(c, b):
+        if pattern_chunk:
+            n = tips.shape[0]
+            K = tips.shape[1] // pattern_chunk
+            tipsK = jnp.moveaxis(tips.reshape(n, K, pattern_chunk, 20), 1, 0)
+
+            def chunk_sl(t_k):
+                return _site_loglik(c, b, t_k, eigvals, U, Uinv, pi,
+                                    rates, props, n_taxa)
+
+            return jax.lax.map(chunk_sl, tipsK).reshape(-1)
         return _site_loglik(c, b, tips, eigvals, U, Uinv, pi, rates, props, n_taxa)
 
     return jax.vmap(one)(children_b, blens_b)

@@ -147,6 +147,19 @@ class TreeSearch:
     ) -> Tuple[Node, float]:
         """NNI hill-climb from a starting (unrooted ok) tree."""
         eng = self.engine
+        full_eng = eng
+        sub_search = False
+        if hasattr(eng, "tips"):
+            from unicore_tpu.phylo.likelihood import (
+                SEARCH_PATTERN_CAP, subsampled_engine,
+            )
+            if int(eng.tips.shape[1]) > 2 * SEARCH_PATTERN_CAP:
+                # supermatrix scale: search topology on a weighted
+                # pattern subsample (unbiased RELL-style estimator;
+                # also restores the incremental NNI path's memory
+                # budget); final blens/lnL re-optimized on full data
+                eng = subsampled_engine(eng, seed=12345)
+                sub_search = eng is not full_eng
         root = make_root_binary(copy_tree(start))
         children, blens = tree_to_arrays(root, eng.names)
         blens, ll = eng.optimize_blens(children, blens, steps=blen_steps)
@@ -161,6 +174,16 @@ class TreeSearch:
         # full-batch path (also the reference implementation the
         # incremental path is tested against).
         use_inc = hasattr(eng, "loglik_nni_moves") and eng.n >= 48
+        if use_inc and hasattr(eng, "tips"):
+            # the incremental path caches the FULL base-CLV buffer
+            # ((2n-1, C, P, 20) f32); for supermatrix-scale pattern
+            # counts that buffer alone exceeds device memory — fall back
+            # to the full-batch path, which pattern-chunks internally
+            # (likelihood.pattern_chunk_for; config-4 OOM, round 4)
+            from unicore_tpu.phylo.likelihood import pattern_chunk_for
+            if pattern_chunk_for(eng.n, int(eng._mp["rates"].shape[0]),
+                                 int(eng.tips.shape[1])):
+                use_inc = False
 
         for rnd in range(max_rounds):
             if use_inc:
@@ -211,6 +234,13 @@ class TreeSearch:
                 self.visited.append((children.copy(), blens.copy(), ll))
             msg.println_message(f"  NNI round {rnd + 1}: lnL = {ll:.4f}", 4)
 
+        if sub_search:
+            # topology fixed on the subsample; branch lengths and the
+            # reported lnL come from the FULL data (pattern-chunked)
+            blens, ll = full_eng.optimize_blens(children, blens,
+                                                steps=blen_steps)
+            if track_visited:
+                self.visited.append((children.copy(), blens.copy(), ll))
         final = arrays_to_tree(children, blens, eng.names)
         self._final = (children, blens, ll)
         return final, ll
