@@ -149,6 +149,21 @@ def unroot(root: Node) -> Node:
 # likelihood core (jax)
 # ---------------------------------------------------------------------------
 
+def _blockdiag_pmats(blens, rates, eigvals, U, Uinv):
+    """(2n-1, C*20, C*20) block-diagonal transition matrices — one per
+    edge, categories stacked on the diagonal (see _loglik_core)."""
+    rt = blens[:, None] * rates[None, :]
+    expl = jnp.exp(rt[:, :, None] * eigvals[None, None, :])
+    Pmats = jnp.einsum("ij,ecj,jk->ecik", U, expl, Uinv)
+    Pmats = jnp.clip(Pmats, 1e-12, None)
+    E, C = Pmats.shape[0], Pmats.shape[1]
+    Pblk = jnp.zeros((E, C * 20, C * 20), Pmats.dtype)
+    for c in range(C):
+        Pblk = Pblk.at[:, c * 20:(c + 1) * 20, c * 20:(c + 1) * 20].set(
+            Pmats[:, c])
+    return Pblk
+
+
 def _loglik_core(
     children: jnp.ndarray,   # (n-1, 2) int32
     blens: jnp.ndarray,      # (2n-1,) float32
@@ -166,31 +181,34 @@ def _loglik_core(
     C = rates.shape[0]
     P = tips.shape[1]
 
-    # transition matrices for every (edge, category)
-    # P(t) = U diag(exp(lam * r * t)) Uinv ; shape (2n-1, C, 20, 20)
-    rt = blens[:, None] * rates[None, :]
-    expl = jnp.exp(rt[:, :, None] * eigvals[None, None, :])
-    Pmats = jnp.einsum("ij,ecj,jk->ecik", U, expl, Uinv)
-    Pmats = jnp.clip(Pmats, 1e-12, None)
+    # CLVs live as (P, C*20) with the transition matrices BLOCK-DIAGONAL
+    # (C*20, C*20): the per-node update becomes one (P, 80) @ (80, 80)
+    # matmul instead of C separate (P, 20) @ (20, 20) ones.  A 20-wide
+    # contraction uses ~2.4% of a 128x128 MXU pass; the 80-wide
+    # block-diagonal spends 4x the flops for 16x the utilization — the
+    # measured win is the difference between feasible and not on
+    # supermatrix NNI rounds (BENCH_NOTES round 4).  Zero blocks
+    # contribute exact zeros, so values match the per-category form up
+    # to f32 summation order.
+    Pblk = _blockdiag_pmats(blens, rates, eigvals, U, Uinv)
 
-    # CLV buffer (2n-1, C, P, 20); leaves broadcast over categories
-    buf = jnp.zeros((2 * n - 1, C, P, 20), tips.dtype)
-    buf = buf.at[:n].set(tips[:, None, :, :])
-    logscale = jnp.zeros((2 * n - 1, C, P), tips.dtype)
+    buf = jnp.zeros((2 * n - 1, P, C * 20), tips.dtype)
+    buf = buf.at[:n].set(jnp.tile(tips, (1, 1, C)))
+    logscale = jnp.zeros((2 * n - 1, P, C), tips.dtype)
 
     def body(carry, idx):
         buf, logscale = carry
         i = idx + n
         l = children[idx, 0]
         r = children[idx, 1]
-        # messages through the child edges: (C, P, 20) @ (C, 20, 20)^T
-        ml = jnp.einsum("cpk,cjk->cpj", buf[l], Pmats[l])
-        mr = jnp.einsum("cpk,cjk->cpj", buf[r], Pmats[r])
+        ml = buf[l] @ Pblk[l].T          # (P, C*20)
+        mr = buf[r] @ Pblk[r].T
         clv = ml * mr
-        m = jnp.max(clv, axis=-1, keepdims=True)
-        m = jnp.maximum(m, 1e-30)
-        clv = clv / m
-        ls = logscale[l] + logscale[r] + jnp.log(m[..., 0])
+        # per-category scaling: max over each 20-block
+        m = jnp.max(clv.reshape(P, C, 20), axis=-1)
+        m = jnp.maximum(m, 1e-30)        # (P, C)
+        clv = clv / jnp.repeat(m, 20, axis=1)
+        ls = logscale[l] + logscale[r] + jnp.log(m)
         buf = buf.at[i].set(clv)
         logscale = logscale.at[i].set(ls)
         return (buf, logscale), None
@@ -200,11 +218,11 @@ def _loglik_core(
     )
 
     root = 2 * n - 2
-    site_cat = jnp.einsum("cpk,k->cp", buf[root], pi)  # (C, P)
+    site_cat = buf[root].reshape(P, C, 20) @ pi      # (P, C)
     log_site_cat = jnp.log(jnp.clip(site_cat, 1e-30, None)) + logscale[root]
     # mix categories in log space
     log_site = jax.scipy.special.logsumexp(
-        log_site_cat + jnp.log(props)[:, None], axis=0
+        log_site_cat + jnp.log(props)[None, :], axis=1
     )
     return jnp.sum(log_site * weights)
 
@@ -681,37 +699,35 @@ class LikelihoodEngine:
 def _site_loglik(
     children, blens, tips, eigvals, U, Uinv, pi, rates, props, n_taxa
 ):
-    """Per-pattern log-likelihood vector (P,)."""
+    """Per-pattern log-likelihood vector (P,).
+
+    Same block-diagonal (P, C*20) formulation as _loglik_core (MXU
+    utilization; see the comment there)."""
     n = n_taxa
     C = rates.shape[0]
     P = tips.shape[1]
-    rt = blens[:, None] * rates[None, :]
-    expl = jnp.exp(rt[:, :, None] * eigvals[None, None, :])
-    Pmats = jnp.einsum("ij,ecj,jk->ecik", U, expl, Uinv)
-    Pmats = jnp.clip(Pmats, 1e-12, None)
-    buf = jnp.zeros((2 * n - 1, C, P, 20), tips.dtype)
-    buf = buf.at[:n].set(tips[:, None, :, :])
-    logscale = jnp.zeros((2 * n - 1, C, P), tips.dtype)
+    Pblk = _blockdiag_pmats(blens, rates, eigvals, U, Uinv)
+    buf = jnp.zeros((2 * n - 1, P, C * 20), tips.dtype)
+    buf = buf.at[:n].set(jnp.tile(tips, (1, 1, C)))
+    logscale = jnp.zeros((2 * n - 1, P, C), tips.dtype)
 
     def body(carry, idx):
         buf, logscale = carry
         i = idx + n
         l = children[idx, 0]
         r = children[idx, 1]
-        ml = jnp.einsum("cpk,cjk->cpj", buf[l], Pmats[l])
-        mr = jnp.einsum("cpk,cjk->cpj", buf[r], Pmats[r])
-        clv = ml * mr
-        m = jnp.maximum(jnp.max(clv, axis=-1, keepdims=True), 1e-30)
-        buf = buf.at[i].set(clv / m)
-        logscale = logscale.at[i].set(logscale[l] + logscale[r] + jnp.log(m[..., 0]))
+        clv = (buf[l] @ Pblk[l].T) * (buf[r] @ Pblk[r].T)
+        m = jnp.maximum(jnp.max(clv.reshape(P, C, 20), axis=-1), 1e-30)
+        buf = buf.at[i].set(clv / jnp.repeat(m, 20, axis=1))
+        logscale = logscale.at[i].set(logscale[l] + logscale[r] + jnp.log(m))
         return (buf, logscale), None
 
     (buf, logscale), _ = jax.lax.scan(body, (buf, logscale), jnp.arange(n - 1))
     root = 2 * n - 2
-    site_cat = jnp.einsum("cpk,k->cp", buf[root], pi)
+    site_cat = buf[root].reshape(P, C, 20) @ pi
     log_site_cat = jnp.log(jnp.clip(site_cat, 1e-30, None)) + logscale[root]
     return jax.scipy.special.logsumexp(
-        log_site_cat + jnp.log(props)[:, None], axis=0
+        log_site_cat + jnp.log(props)[None, :], axis=1
     )
 
 
