@@ -86,6 +86,9 @@ def phase_gen(work: str, n_species: int, n_families: int, seed: int = 7) -> None
 
     rng = np.random.RandomState(seed)
     AA = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    LUT = np.zeros(256, np.int64)
+    for _c, _b in enumerate(AA):
+        LUT[_b] = _c
     # BLOSUM-conditioned substitution kernel (conservative mutations)
     Bm = BLOSUM62[:20, :20].astype(float)
     P = np.exp(Bm / 2.0)
@@ -106,12 +109,7 @@ def phase_gen(work: str, n_species: int, n_families: int, seed: int = 7) -> None
         m = rng.rand(len(seq)) < p
         idx = np.nonzero(m)[0]
         if len(idx):
-            aa_idx = np.searchsorted(AA, seq[idx])  # codes 0..19 (AA sorted? no)
-            # map bytes -> codes via lookup
-            lut = np.zeros(256, np.int64)
-            for c, b in enumerate(AA):
-                lut[b] = c
-            codes = lut[seq[idx]]
+            codes = LUT[seq[idx]]
             r = rng.rand(len(idx), 1)
             new = (r < cum[codes]).argmax(axis=1)
             seq = seq.copy()
