@@ -31,6 +31,8 @@ def _ref_delta(codes, L, S, window=40, pback=None):
 
 
 def test_bias_matches_naive_reference():
+    from unicore_tpu.align.bias import bias_clip_bound
+
     rng = np.random.RandomState(1)
     saa = BLOSUM62.astype(float)
     s3d = MAT3DI.astype(float)
@@ -40,12 +42,39 @@ def test_bias_matches_naive_reference():
     qs = rng.randint(0, 21, (B, L))
     qlen = np.array([97, 60, 1, 40])
     got = composition_bias(qa, qs, qlen, saa, s3d, 4.0, 6.0)
+    bound = bias_clip_bound(saa, s3d, 4.0, 6.0)
     for b in range(B):
         want = (4.0 * _ref_delta(qa[b], qlen[b], saa)
                 + 6.0 * _ref_delta(qs[b], qlen[b], s3d, pback=bg3))
         w = np.clip(np.rint(np.concatenate(
-            [want[: qlen[b]], np.zeros(L - qlen[b])])), -255, 255)
+            [want[: qlen[b]], np.zeros(L - qlen[b])])), -bound, bound)
         assert np.array_equal(got[b], w.astype(np.int32)), b
+
+
+def test_bias_clip_keeps_combined_score_bf16_exact():
+    """The clip bound guarantees |s + qc| <= 256 for every real cell —
+    the exact-integer range of the bf16 score scratch — for the SHIPPED
+    matrices and for a high-dynamic-range override (where a fixed +-255
+    clip would have broken cross-backend byte-identity silently)."""
+    import jax.numpy as jnp
+
+    from unicore_tpu.align.bias import bias_clip_bound
+
+    for saa_max, s3d_max in ((11, 17), (20, 25), (25, 30)):
+        saa = np.zeros((21, 21)); saa[:20, :20] = saa_max
+        s3d = np.zeros((21, 21)); s3d[:20, :20] = -s3d_max
+        bound = bias_clip_bound(saa, s3d, 4.0, 6.0)
+        max_cell = 4.0 * saa_max + 6.0 * s3d_max
+        if max_cell > 256.0:
+            # the raw matrix alone overflows the exact range — bias
+            # must contribute nothing rather than widen the damage
+            assert bound == 0.0
+        else:
+            assert bound + max_cell <= 256.0
+        # every integer in [-256, 256] round-trips through bf16
+        v = np.arange(-256, 257, dtype=np.float32)
+        rt = np.asarray(jnp.asarray(v).astype(jnp.bfloat16).astype(jnp.float32))
+        assert np.array_equal(rt, v)
 
 
 def test_bias_damps_low_complexity():

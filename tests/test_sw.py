@@ -254,3 +254,37 @@ def test_pallas_bias_interpret_matches_xla():
         )
         for a, b in zip(ref, pal):
             assert (np.array(a) == np.array(b)).all(), ungapped
+
+
+def test_pallas_bias_exact_at_clip_bound():
+    """Kernel exactness at the composition-bias clip bound: with qc at
+    exactly +-bias_clip_bound (the largest magnitude composition_bias
+    can emit), the bf16-score-scratch Pallas path must stay bit-exact
+    vs the INTEGER NumPy golden model — the cross-backend byte-identity
+    contract the bound exists to protect (a +-255 clip measurably broke
+    it by up to 14 score units)."""
+    from unicore_tpu.align.bias import bias_clip_bound
+
+    saa = BLOSUM62.astype(np.float32)
+    s3d = default_3di_matrix().astype(np.float32)
+    w_aa, w_3di = 4.0, 6.0
+    bound = int(bias_clip_bound(saa, s3d, w_aa, w_3di))
+    assert bound > 0
+    qa, qs, ta, ts, qlen, tlen = _random_pairs(8, 128, 128)
+    rng = np.random.RandomState(11)
+    qc = rng.choice([-bound, bound], size=qa.shape).astype(np.int32)
+    # integer golden score matrix (float64 — exact for these magnitudes)
+    best, bi, bj = sw_forward_pallas(
+        qa, qs, ta, ts, qlen, tlen, saa, s3d,
+        go=GO, ge=GE, batch_tile=8, interpret=True, qc=qc,
+    )
+    best, bi, bj = np.array(best), np.array(bi), np.array(bj)
+    for b in range(qa.shape[0]):
+        s = (w_aa * saa[qa[b, : qlen[b], None], ta[b, None, : tlen[b]]]
+             + w_3di * s3d[qs[b, : qlen[b], None], ts[b, None, : tlen[b]]]
+             ).astype(np.float64) + qc[b, : qlen[b], None]
+        assert np.abs(s).max() <= 256.0
+        rb, ri, rj = sw_forward_ref(s, GO, GE)
+        assert best[b] == rb, f"pair {b} score"
+        if rb > 0:
+            assert (bi[b], bj[b]) == (ri, rj), f"pair {b} end"

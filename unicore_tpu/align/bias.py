@@ -85,11 +85,19 @@ def composition_bias(
 ) -> np.ndarray:
     """(B, Lq) int32 combined per-query-position score correction.
 
-    Rounded to integers (exactness contract) and clipped to +-255 so the
-    values stay bf16-exact for the kernel's MXU bias row (ops/sw.py).
-    Backgrounds: AA uniform (matches the BLOSUM-era convention and the
-    calibration null), 3Di the published mat3di state background (the
-    same null the E-value simulation samples from)."""
+    Rounded to integers (exactness contract) and clipped so every
+    COMBINED cell score s + qc stays within +-256 — the integer range
+    bf16 represents exactly — because the kernel's score scratch is
+    bf16 (ops/sw.py sc_ref).  The bound is computed from the actual
+    matrices: |qc| <= 256 - max|w_aa*saa + w_3di*s3d| over the real
+    code range, so matrix overrides (UNICORE_TPU_3DI_MATRIX) with a
+    larger dynamic range tighten the clip automatically instead of
+    silently breaking cross-backend byte-identity (a fixed +-255 clip
+    measurably diverged the Pallas path from build_scores+XLA by up to
+    14 units at |qc|~255).  Backgrounds: AA uniform (matches the
+    BLOSUM-era convention and the calibration null), 3Di the published
+    mat3di state background (the same null the E-value simulation
+    samples from)."""
     from unicore_tpu.matrices import get_3di_background
 
     d = (
@@ -97,4 +105,20 @@ def composition_bias(
         + w_3di * _channel_delta(np.asarray(qs), qlen, np.asarray(s3d), window,
                                  pback=get_3di_background())
     )
-    return np.clip(np.rint(d), -255, 255).astype(np.int32)
+    bound = bias_clip_bound(saa, s3d, w_aa, w_3di)
+    return np.clip(np.rint(d), -bound, bound).astype(np.int32)
+
+
+def bias_clip_bound(saa: np.ndarray, s3d: np.ndarray,
+                    w_aa: float, w_3di: float) -> float:
+    """Largest |qc| that keeps every combined cell score s + qc an
+    integer with |s + qc| <= 256 (exactly representable in the bf16
+    score scratch).  max|s| is bounded by the per-channel maxima over
+    the real (non-PAD) code range; the PAD sentinel rows (-2048) stay
+    deeply negative regardless of qc so their bf16 rounding never
+    affects the DP."""
+    saa = np.asarray(saa, dtype=np.float64)
+    s3d = np.asarray(s3d, dtype=np.float64)
+    max_cell = (abs(w_aa) * np.abs(saa[:21, :21]).max()
+                + abs(w_3di) * np.abs(s3d[:21, :21]).max())
+    return max(0.0, np.floor(256.0 - max_cell))

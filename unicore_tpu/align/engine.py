@@ -777,9 +777,17 @@ class AlignmentEngine:
                             s, p.gap_open, p.gap_extend)
             else:  # unreachable: every short window is in short_paths
                 raise AssertionError("short hit missing from batched traceback")
-            if len(q_arr) == 0:
-                h.alnlen = max(h.qend - h.qstart, h.tend - h.tstart) + 1
-                continue
+            # unreachable post-gating: a hit reaching traceback has
+            # score > 0, so every path above (batched, banded, or
+            # full-window Gotoh fallback) yields a non-empty path.  A
+            # silent default-fill here would be a fabricated m8 row
+            # (fident=0/mismatch=0 with alnlen = window extent — the
+            # round-3 weak-#3 pattern), so fail loudly instead.
+            assert len(q_arr) > 0, (
+                f"empty traceback for gated hit q={h.qidx} t={h.tidx} "
+                f"window=({h.qstart}:{h.qend},{h.tstart}:{h.tend}) "
+                f"score={h.score}"
+            )
             matches = 0
             mismatches = 0
             gapopens = 0

@@ -211,10 +211,12 @@ def get_aa_matrix() -> np.ndarray:
     return BLOSUM62
 
 
-# Foldseek-style combined weighting (3Di : AA = 2.1 : 1.4 = 3 : 2),
-# expressed in small integer units (6 : 4, gaps 28/3) so every combined
+# Foldseek-style combined weighting: the combined score is the weighted
+# MEAN 0.4*aa + 0.6*3di (gap 10/1), expressed x10 in small integer units
+# (weights 4 : 6, gaps 100/10 — NOT the 28/3 sum-mapping of rounds 1-3,
+# which put gapped chance scores in the linear phase) so every combined
 # cell score is a small integer — exact under bf16 MXU arithmetic and in
-# bf16 score storage (see ops/sw.py docstring)
+# bf16 score storage (see ops/sw.py "Gap units" note)
 W_3DI = 6.0
 W_AA = 4.0
 

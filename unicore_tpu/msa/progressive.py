@@ -211,15 +211,18 @@ class ProgressiveMSA:
             # build on the MXU, forward + traceback on device, O(path)
             # transfer (nw_align_batch_counts).  Merges too big for the
             # exact-int32 bound fall back to the host-built score path.
-            from unicore_tpu.ops.nw_device import nw_align_batch_counts
+            from unicore_tpu.ops.nw_device import (
+                nw_align_batch_counts, nw_counts_exact_bound)
             entries = [None] * len(batch)
             big: List[int] = []
             ncells = 0.0
+            n1n2_max = nw_counts_exact_bound(
+                self.saa, self.s3d, self._wA, self._wS)
             for k, (g, _, a1, a2) in enumerate(batch):
                 task = tasks[g]
                 n1, n2 = a1.cols.shape[0], a2.cols.shape[0]
                 ncells += float(a1.cols.shape[1] * a2.cols.shape[1])
-                if n1 * n2 > 8192:
+                if n1 * n2 > n1n2_max:
                     big.append(k)
                     continue
                 c1a = _count_profile(a1, task.aa_codes, AA_SIZE)

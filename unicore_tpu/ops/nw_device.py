@@ -299,6 +299,21 @@ def _nw_counts_impl(
     return buf, cnt, i_stop, j_stop, ei, ej, score
 
 
+def nw_counts_exact_bound(saa: np.ndarray, s3d: np.ndarray,
+                          wA: int, wS: int) -> int:
+    """Largest n1*n2 for which the fused device merge is exact, computed
+    from the ACTUAL matrices and weights (a hardcoded 8192 assumed the
+    default wA=14/wS=21 — kernel-unit weights like 40/60 overflow int32
+    at n1*n2=8192 and silently wrap, producing wrong merge paths).  Two
+    constraints: (a) every f32 matmul intermediate < 2^24, (b) the int32
+    numerator QUANT*(wA*A + wS*B) + 5*n1*n2 < 2^31."""
+    ma = float(np.abs(np.asarray(saa)[:21, :21]).max())
+    ms = float(np.abs(np.asarray(s3d)[:21, :21]).max())
+    f32_bound = int((1 << 24) / max(ma, ms, 1.0))
+    i32_bound = int(((1 << 31) - 1) / (QUANT_INT * (wA * ma + wS * ms) + 5))
+    return min(8192, f32_bound, i32_bound)
+
+
 def nw_align_batch_counts(
     entries: List[tuple], go: int, ge: int,
     saa: np.ndarray, s3d: np.ndarray, wA: int, wS: int,
@@ -307,7 +322,7 @@ def nw_align_batch_counts(
     """Device-complete MSA merges from integer COUNT profiles.
 
     `entries`: per merge (C1a (L1,21) int, C1s or None, C2a (L2,21),
-    C2s or None, n1, n2).  Score построение, quantization, NW forward
+    C2s or None, n1, n2).  Score construction, quantization, NW forward
     and traceback all run on the device in ONE dispatch per batch;
     only (path, score) transfers back — O(path), not O(cells).  The
     tunnel-bound bits download and the host profile-matmul were 94% of
@@ -320,10 +335,11 @@ def nw_align_batch_counts(
     bit-identical including every tie decision."""
     out: List = [None] * len(entries)
     buckets = {}
+    n1n2_max = nw_counts_exact_bound(saa, s3d, wA, wS)
     for k, e in enumerate(entries):
         L1 = e[0].shape[0]
         L2 = e[2].shape[0]
-        assert int(e[4]) * int(e[5]) <= 8192, \
+        assert int(e[4]) * int(e[5]) <= n1n2_max, \
             "n1*n2 too large for exact int32 quantization (host path required)"
         if L1 == 0 or L2 == 0:
             path = [(-1, j) for j in range(L2)] + [(i, -1) for i in range(L1)]

@@ -24,12 +24,14 @@ substitution matrices, then each query row block gathers its scores with
 one (RB, 64) x (64, Lt) matmul.  Substitution scores never touch HBM.
 
 **Integer scoring units**: the default convention maps Foldseek's
-combined weighting (1.4 AA : 2.1 3Di, gap 10/1) to small integers
-(w_aa=4, w_3di=6, go=28, ge=3; exact 2:3 weight ratio, gap ratios within
-2% of Foldseek's).  Every cell score stays below 128 — exactly
-representable in bf16 — so the MXU one-hot matmuls, the bf16 score
-scratch, and the f32 DP are all bit-exact.  E-value lambdas are fitted
-to the scaled matrix (align/stats.py), so statistics stay consistent.
+combined weighting (the weighted MEAN 0.4*aa + 0.6*3di, gap 10/1) to
+small integers scaled x10 (w_aa=4, w_3di=6, go=100, ge=10 — see the
+default-units note above W_AA_INT; the 28/3 sum-mapping of rounds 1-3
+was falsified round 4).  Every combined cell score stays within +-256 —
+exactly representable in bf16 — so the MXU one-hot matmuls, the bf16
+score scratch, and the f32 DP are all bit-exact.  E-value lambdas are
+fitted to the scaled matrix (align/stats.py), so statistics stay
+consistent.
 
 Ties resolve row-major (lowest (i, j) wins), matching the NumPy golden
 model, via a min-key reduction over (row * Lt + col) at emit time.
@@ -499,7 +501,7 @@ def sw_forward_pallas(
                                 # lowering regressions on 16-bit scratch)
     gap_window: int = 0,  # >0 caps query-gap length to the window; exact
                           # whenever the optimal alignment has no gap
-                          # >= window (with ge=3, a 128-gap costs 409 --
+                          # >= window (with ge=10, a 64-gap costs 730 --
                           # rarely optimal for real proteins)  # 0 = auto (pack 2-4 short pairs per lane row)
     chains: int = 1,  # independent interleaved DP chains per tile (sublane
                       # split; results are identical for any value)
