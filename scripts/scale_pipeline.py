@@ -251,6 +251,123 @@ def _rf_distance(nwk_a: str, nwk_b: str) -> tuple:
     return len(ba ^ bb), len(ba), len(bb)
 
 
+def phase_refdb(work: str) -> None:
+    """Export one representative sequence per core gene as a reference
+    DB (the easy-search TARGET; search.rs:44-46 reversed query/target)."""
+    from unicore_tpu.io.seqdb import SeqDB
+
+    db = _load_db(work)
+    idx = db.name_to_idx()
+    profile_dir = os.path.join(work, "out", "profile")
+    genes = sorted(f[:-4] for f in os.listdir(profile_dir) if f.endswith(".txt"))
+    names, aa, ss = [], [], []
+    for g in genes:
+        i = idx[g]
+        names.append(g)
+        aa.append(db.aa_seqs[i])
+        ss.append(db.ss_seqs[i])
+    ref = SeqDB(names=names, aa_seqs=aa, ss_seqs=ss)
+    rdir = os.path.join(work, "refdb")
+    os.makedirs(rdir, exist_ok=True)
+    ref.write(os.path.join(rdir, "core_db"))
+    # .map so profile can map ref genes (not needed for targets; the
+    # proteome .map is what profile uses) — skip
+    print(json.dumps({"phase": "refdb", "n_core": len(names),
+                      "peak_rss_mb": _peak_mb()}))
+
+
+def _gene_tree_paths(tree_dir: str):
+    fasta_dir = os.path.join(tree_dir, "fasta")
+    out = []
+    for g in sorted(os.listdir(fasta_dir)):
+        gd = os.path.join(fasta_dir, g)
+        if not os.path.isdir(gd):
+            continue
+        for cand in ("iqtree.treefile", "fasttree.nwk", "raxml.bestTree"):
+            p = os.path.join(gd, cand)
+            if os.path.exists(p):
+                out.append((g, p))
+                break
+    return out
+
+
+def phase_genetree_report(work: str) -> None:
+    """Per-gene RF-to-species-tree distribution (the biological sanity
+    signal: most single-copy core genes should roughly recapitulate the
+    species tree; genetree.rs:113-143 is the per-gene loop)."""
+    from unicore_tpu.phylo.newick import bipartitions, parse_newick
+
+    true_nwk = open(os.path.join(work, "true_tree.nwk")).read().strip()
+    t_true = parse_newick(true_nwk)
+    true_leaves = {l.name for l in t_true.leaves()}
+    rfs = []
+    for g, path in _gene_tree_paths(os.path.join(work, "out", "tree")):
+        tg = parse_newick(open(path).read().strip())
+        leaves = {l.name for l in tg.leaves()}
+        shared = leaves & true_leaves
+        if len(shared) < 4:
+            continue
+        bg = {k for k in bipartitions(tg, restrict=shared)}
+        bt = {k for k in bipartitions(t_true, restrict=shared)}
+        denom = max(len(bg) + len(bt), 1)
+        rfs.append(len(bg ^ bt) / denom)
+    rfs = np.asarray(rfs)
+    print(json.dumps({
+        "phase": "genetree_report", "n_gene_trees": int(rfs.size),
+        "norm_rf_mean": round(float(rfs.mean()), 4) if rfs.size else None,
+        "norm_rf_median": round(float(np.median(rfs)), 4) if rfs.size else None,
+        "norm_rf_q90": round(float(np.quantile(rfs, 0.9)), 4) if rfs.size else None,
+        "frac_rf_le_0.2": round(float((rfs <= 0.2).mean()), 4) if rfs.size else None,
+        "peak_rss_mb": _peak_mb()}))
+
+
+def phase_iqtree_report(work: str) -> None:
+    """Reference-default-schedule validation: RF vs the true tree plus
+    UFBoot support statistics on true vs spurious splits (tree.rs:143
+    `-m JTT+F+I+G -B 1000`)."""
+    from unicore_tpu.phylo.newick import bipartitions, parse_newick
+
+    path = os.path.join(work, "out", "tree_iqtree", "iqtree.treefile")
+    t_inf = parse_newick(open(path).read().strip())
+    t_true = parse_newick(
+        open(os.path.join(work, "true_tree.nwk")).read().strip())
+    b_inf = bipartitions(t_inf)
+    b_true = set(bipartitions(t_true).keys())
+    sup_true, sup_false = [], []
+    for key, node in b_inf.items():
+        s = getattr(node, "support", None)
+        if s is None:
+            continue
+        (sup_true if key in b_true else sup_false).append(float(s))
+    d = len(set(b_inf.keys()) ^ b_true)
+    print(json.dumps({
+        "phase": "iqtree_report",
+        "rf": d,
+        "norm_rf": round(d / max(len(b_inf) + len(b_true), 1), 4),
+        "true_splits_recovered": len(set(b_inf.keys()) & b_true),
+        "support_true_mean": round(float(np.mean(sup_true)), 1) if sup_true else None,
+        "support_true_min": round(float(np.min(sup_true)), 1) if sup_true else None,
+        "support_false_mean": round(float(np.mean(sup_false)), 1) if sup_false else None,
+        "n_false_splits": len(sup_false),
+        "peak_rss_mb": _peak_mb()}))
+
+
+def phase_search_report(work: str) -> None:
+    """Search-mode (easy-search analog) validation: core-gene set found
+    via search+profile vs the cluster-mode core-gene set."""
+    cluster_core = {f[:-4] for f in os.listdir(os.path.join(work, "out", "profile"))
+                    if f.endswith(".txt")}
+    sdir = os.path.join(work, "search_out", "profile")
+    search_core = {f[:-4] for f in os.listdir(sdir) if f.endswith(".txt")}
+    inter = cluster_core & search_core
+    print(json.dumps({
+        "phase": "search_report",
+        "cluster_core": len(cluster_core), "search_core": len(search_core),
+        "overlap": len(inter),
+        "jaccard": round(len(inter) / max(len(cluster_core | search_core), 1), 4),
+        "peak_rss_mb": _peak_mb()}))
+
+
 def phase_report(work: str) -> None:
     import collections
 
@@ -288,7 +405,27 @@ def phase_report(work: str) -> None:
 # driver
 # ---------------------------------------------------------------------------
 
-def _run_phase(args_list, log):
+def _record_wall(work: str, key: str, wall: float) -> None:
+    """Accumulate per-phase walls in {work}/phase_walls.json across
+    (resumed) runs — the source for the pipeline-level benchmark
+    (proteomes/hr single-chip, bench.py).  Chunked phases (verify)
+    sum; re-run phases overwrite with the latest measurement."""
+    path = os.path.join(work, "phase_walls.json")
+    try:
+        d = json.load(open(path))
+    except (OSError, ValueError):
+        d = {}
+    if key.startswith("verify"):
+        d["verify"] = round(d.get("verify", 0.0) + wall, 1)
+    else:
+        d[key] = round(wall, 1)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _run_phase(args_list, log, work=None):
     t0 = time.time()
     r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args_list,
                        capture_output=True, text=True)
@@ -300,10 +437,15 @@ def _run_phase(args_list, log):
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-4000:] if r.stderr else "")
         raise SystemExit(f"phase failed: {args_list}")
+    if work:
+        key = args_list[args_list.index("--phase") + 1]
+        if key == "verify":
+            key = "verify_" + args_list[args_list.index("--chunk") + 1]
+        _record_wall(work, key, wall)
     return tail
 
 
-def _run_cli(work, module_args, log):
+def _run_cli(work, module_args, log, wall_key=None):
     t0 = time.time()
     env = dict(os.environ)
     r = subprocess.run([sys.executable, "-m", "unicore_tpu"] + module_args,
@@ -316,6 +458,7 @@ def _run_cli(work, module_args, log):
     if r.returncode != 0:
         sys.stderr.write((r.stderr or "")[-4000:])
         raise SystemExit(f"CLI phase failed: {module_args[:2]}")
+    _record_wall(work, wall_key or module_args[0], wall)
 
 
 def main():
@@ -340,6 +483,14 @@ def main():
             phase_reps(work)
         elif args.phase == "report":
             phase_report(work)
+        elif args.phase == "refdb":
+            phase_refdb(work)
+        elif args.phase == "genetree_report":
+            phase_genetree_report(work)
+        elif args.phase == "iqtree_report":
+            phase_iqtree_report(work)
+        elif args.phase == "search_report":
+            phase_search_report(work)
         return
 
     def chk_done(path: str) -> bool:
@@ -358,7 +509,7 @@ def main():
             "--families", str(args.families)]
 
     if not os.path.exists(os.path.join(work, "true_tree.nwk")):
-        _run_phase(base + ["--phase", "gen"], log)
+        _run_phase(base + ["--phase", "gen"], log, work=work)
     else:
         print("gen: exists, skipping", flush=True)
 
@@ -370,7 +521,7 @@ def main():
         print("createdb: exists, skipping", flush=True)
 
     if not os.path.exists(os.path.join(work, "canopy.json")):
-        _run_phase(base + ["--phase", "canopy"], log)
+        _run_phase(base + ["--phase", "canopy"], log, work=work)
     else:
         print("canopy: exists, skipping", flush=True)
 
@@ -379,10 +530,10 @@ def main():
     for i in range(n_chunks):
         if os.path.exists(os.path.join(work, f"verify_{i}.npy")):
             continue
-        _run_phase(base + ["--phase", "verify", "--chunk", str(i)], log)
+        _run_phase(base + ["--phase", "verify", "--chunk", str(i)], log, work=work)
 
     if not chk_done(os.path.join(out, "cluster", "cluster.chk")):
-        _run_phase(base + ["--phase", "reps"], log)
+        _run_phase(base + ["--phase", "reps"], log, work=work)
     else:
         print("reps: exists, skipping", flush=True)
 
@@ -403,6 +554,61 @@ def main():
         print("tree: exists, skipping", flush=True)
 
     _run_phase(base + ["--phase", "report"], log)
+
+    # ---- round-5 phases: reference-DEFAULT tree schedule (iqtree
+    # `-m JTT+F+I+G -B 1000`, tree.rs:143) at supermatrix scale,
+    # reusing the MSA via the skip-alignment fast path (tree.rs:55-57)
+    ti = os.path.join(out, "tree_iqtree")
+    if not chk_done(os.path.join(ti, "tree.chk")):
+        os.makedirs(ti, exist_ok=True)
+        for f in ("combined.fasta", "combined.fasta.partitions"):
+            src = os.path.join(out, "tree", f)
+            dst = os.path.join(ti, f)
+            if os.path.exists(src) and not os.path.exists(dst):
+                import shutil
+                shutil.copy(src, dst)
+        _run_cli(work, ["tree", os.path.join(out, "proteome", "proteome_db"),
+                        os.path.join(out, "profile"), ti,
+                        "--aligner", "foldmason",
+                        "--tree-builder", "iqtree", "-v", "2"], log,
+                 wall_key="tree_iqtree")
+    else:
+        print("tree_iqtree: exists, skipping", flush=True)
+    _run_phase(base + ["--phase", "iqtree_report"], log)
+
+    # ---- round-5 phases: per-gene trees + search-mode analog ----
+    gt_marker = os.path.join(out, "tree", "genetree.done")
+    if not os.path.exists(gt_marker):
+        _run_cli(work, ["gene-tree", os.path.join(out, "tree"),
+                        "-T", "iqtree", "-v", "1"], log)
+        with open(gt_marker, "w") as f:
+            f.write("1")
+    else:
+        print("gene-tree: exists, skipping", flush=True)
+    _run_phase(base + ["--phase", "genetree_report"], log)
+
+    refdb = os.path.join(work, "refdb", "core_db")
+    if not os.path.exists(refdb):
+        _run_phase(base + ["--phase", "refdb"], log, work=work)
+    else:
+        print("refdb: exists, skipping", flush=True)
+    sout = os.path.join(work, "search_out")
+    if not chk_done(os.path.join(sout, "search", "search.chk")):
+        os.makedirs(os.path.join(sout, "search"), exist_ok=True)
+        _run_cli(work, ["search", os.path.join(out, "proteome", "proteome_db"),
+                        refdb, os.path.join(sout, "search", "search"),
+                        os.path.join(work, "tmp"), "-v", "1"], log)
+    else:
+        print("search: exists, skipping", flush=True)
+    if not chk_done(os.path.join(sout, "profile", "profile.chk")):
+        _run_cli(work, ["profile", os.path.join(out, "proteome", "proteome_db"),
+                        os.path.join(sout, "search", "search.m8"),
+                        os.path.join(sout, "profile"), "-v", "1"], log,
+                 wall_key="profile_search")
+    else:
+        print("search-profile: exists, skipping", flush=True)
+    _run_phase(base + ["--phase", "search_report"], log)
+
     log.append({"total_wall_s": round(time.time() - t_start, 1)})
     with open(os.path.join(work, "pipeline_log.json"), "w") as f:
         json.dump(log, f, indent=1)

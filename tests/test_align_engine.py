@@ -246,6 +246,102 @@ def test_cascaded_cluster_small():
     assert len(clusters) == 4
 
 
+def test_rep_round_evalues_use_full_database(monkeypatch):
+    """The representative round must compute E-values against the FULL
+    database, not the rep subset (chunking-invariance contract,
+    verify_chunk docstring).  Config-4 measured: rep-subset E-values
+    were ~23x optimistic and let ~24 chance rep-rep edges through the
+    1e-3 gate, over-merging 24 family pairs — the entire purity gap."""
+    from unicore_tpu.align.cascade import representative_round
+    from unicore_tpu.align.engine import AlignmentEngine, AlignParams
+    from unicore_tpu.io.seqdb import SeqDB
+
+    rng = np.random.RandomState(5)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    aa = ["".join(rng.choice(list(letters), 60)) for _ in range(12)]
+    ss = ["".join(rng.choice(list(letters), 60)) for _ in range(12)]
+    db = SeqDB(names=[f"s{i}" for i in range(12)], aa_seqs=aa, ss_seqs=ss)
+    reps = [0, 3, 7]
+    verified = {0: [1, 2], 3: [4, 5, 6], 7: [8, 9, 10, 11]}
+
+    seen = {}
+    orig = AlignmentEngine.align_pairs
+
+    def spy(self, q_aa, q_ss, t_aa, t_ss, pairs, n_db=None, n_seqs=None,
+            **kw):
+        seen["n_db"] = n_db
+        seen["n_seqs"] = n_seqs
+        return orig(self, q_aa, q_ss, t_aa, t_ss, pairs,
+                    n_db=n_db, n_seqs=n_seqs, **kw)
+
+    monkeypatch.setattr(AlignmentEngine, "align_pairs", spy)
+    representative_round(db, reps, verified, _params())
+    assert seen["n_db"] == float(sum(len(s) for s in aa))
+    assert seen["n_seqs"] == len(db)
+
+
+def test_empirical_pair_null_fit_and_gate():
+    """fit_empirical_pair_null recovers a synthetic Gumbel chance
+    distribution (robust to a planted homolog minority) and its pair-E
+    separates the planted strong scores from the bulk; small samples
+    return None (model-gate fallback)."""
+    from unicore_tpu.align.stats import fit_empirical_pair_null
+
+    rng = np.random.RandomState(0)
+    N = 40000
+    qlens = rng.uniform(80, 800, N)
+    tlens = qlens * rng.uniform(0.8, 1.25, N)
+    # chance scores: Gumbel with ln-length-dependent location
+    loc = 120.0 + 60.0 * np.log(np.sqrt(qlens * tlens))
+    scale = 65.0
+    scores = loc - scale * np.log(-np.log(rng.rand(N)))
+    # plant 1% homolog pairs far above
+    n_true = N // 100
+    scores[:n_true] = loc[:n_true] + 1500.0
+    null = fit_empirical_pair_null(scores, qlens, tlens)
+    assert null is not None
+    logE = null.pair_logE(scores, qlens, tlens)
+    thr = np.log(1e-5)
+    assert (logE[:n_true] <= thr).all()           # homologs pass
+    chance_pass = (logE[n_true:] <= thr).mean()
+    assert chance_pass < 2e-4                      # bulk dies
+    # fitted scale close to truth (quantile estimator, contaminated)
+    mid = len(null.scales) // 2
+    assert abs(null.scales[mid] - scale) / scale < 0.15
+    # small sample -> None
+    assert fit_empirical_pair_null(scores[:1000], qlens[:1000], tlens[:1000]) is None
+
+
+def test_rep_round_transitive_merge(monkeypatch):
+    """A family whose reps form a CHAIN (a-b, b-c strong, no a-c edge)
+    must come out as ONE cluster: greedy set cover would let c claim b
+    first and strand a (the config-4 split-family pattern); the rep
+    round now merges by connected components (cascade semantics)."""
+    from unicore_tpu.align.cascade import representative_round
+    from unicore_tpu.align.engine import AlignmentEngine, Hit
+    from unicore_tpu.io.seqdb import SeqDB
+
+    rng = np.random.RandomState(9)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    aa = ["".join(rng.choice(list(letters), 60)) for _ in range(6)]
+    db = SeqDB(names=[f"s{i}" for i in range(6)], aa_seqs=aa, ss_seqs=aa)
+    reps = [0, 2, 4]
+    verified = {0: [1], 2: [3], 4: [5]}
+
+    def fake_align(self, q_aa, q_ss, t_aa, t_ss, pairs, **kw):
+        hits = []
+        for qi, ti in [(0, 1), (1, 2)]:  # local rep indices: chain 0-1-2
+            hits.append(Hit(qidx=qi, tidx=ti, score=2000.0,
+                            qstart=0, qend=59, tstart=0, tend=59,
+                            evalue=1e-30, bits=100.0))
+        return hits
+
+    monkeypatch.setattr(AlignmentEngine, "align_pairs", fake_align)
+    final, _ = representative_round(db, reps, verified, _params())
+    assert len(final) == 1
+    assert sorted(final[0]) == [0, 1, 2, 3, 4, 5]
+
+
 def test_traceback_never_fabricates_m8_rows(monkeypatch):
     """Seedless long windows must compute a REAL alignment (sensitive
     seeds, then full-window DP) — never emit placeholder rows with

@@ -260,14 +260,47 @@ def apply_verification(
     return verified
 
 
+# Empirical pair-E threshold for representative-merge edges.  Config-4
+# sweep (BENCH_NOTES round 5): purity 1.0 with 380/380 core genes holds
+# for every threshold in [1e-4, 1e-7] under component merging; 1e-5 sits
+# mid-plateau, two decades from both failure edges (chance edges appear
+# above ~6e-4; the weakest true family-bridge edge sits at ~5e-6).
+REP_PAIR_E = 1e-5
+
+
 def representative_round(
     db, reps: List[int], verified: Dict[int, List[int]], params
 ) -> Tuple[Dict[int, List[int]], list]:
-    """Prefilter + SW + greedy set cover over the representatives, then
-    members follow their representative into the final clusters."""
-    from unicore_tpu.align.clustering import greedy_set_cover
+    """Prefilter + SW + transitive merge over the representatives, then
+    members follow their representative into the final clusters.
+
+    Two policies differ from the direct (<= cascade threshold) path, both
+    measured on config-4 (100 proteomes / 28,920 unique seqs / 1,240
+    reps — BENCH_NOTES round 5):
+
+    * **Empirical edge null.**  The rep round aligns an overwhelmingly
+      chance population (202K of 203K candidate pairs were cross-family)
+      and the simulated model null is tail-optimistic on it (mock 3Di:
+      chance pairs reached model E ~ 1e-14; 24 chance edges passed the
+      1e-3 gate and over-merged 24 family pairs = the entire 0.944
+      purity gap).  The forward scores of the round ARE a null sample,
+      so the gate fits per-length Gumbel quantiles on them
+      (stats.fit_empirical_pair_null — the round-4 canopy lesson applied
+      to SW scores) and additionally requires pair-E <= REP_PAIR_E.
+      Small rounds (< 5000 pairs) skip the fit (model gate only).
+
+    * **Transitive (connected-component) merging**, matching cascaded-
+      clustering semantics (members follow their rep through every merge
+      step; mmseqs cascade).  Greedy set cover strands reps whose
+      neighbors were claimed first — measured: 4 families split this
+      way (e.g. a rep whose only strong edge pointed at an already-
+      covered rep became its own cluster) — while under the empirical
+      edge gate components are family-pure and reunite them (380/380).
+      The direct path keeps set cover (foldseek cluster.rs parity).
+    """
     from unicore_tpu.align.engine import AlignmentEngine, encode_db
     from unicore_tpu.align.prefilter import candidate_pairs
+    from unicore_tpu.align.stats import fit_empirical_pair_null
 
     engine = AlignmentEngine(params)
     rep_aa = [db.aa_seqs[r] for r in reps]
@@ -279,14 +312,49 @@ def representative_round(
         sens=params.sens, max_seqs=params.max_seqs,
     )
     r_aa, r_ss = encode_db(rep_aa, rep_ss)
-    rhits = engine.align_pairs(r_aa, r_ss, r_aa, r_ss, rpairs)
+
+    def edge_null_filter(best, qlen_pairs, tlen_pairs, live):
+        null = fit_empirical_pair_null(
+            best[live], qlen_pairs[live], tlen_pairs[live])
+        if null is None:
+            return np.ones(len(best), bool)
+        logE = null.pair_logE(best, qlen_pairs, tlen_pairs)
+        msg.println_message(
+            f"Rep round: empirical null on {int(live.sum())} pairs, "
+            f"{int((logE <= np.log(REP_PAIR_E)).sum())} pass pair-E", 4)
+        return logE <= np.log(REP_PAIR_E)
+
+    # E-values against the FULL database, not the rep subset (the rep
+    # round continues clustering the same database; chunking-invariance
+    # contract, verify_chunk docstring).
+    rhits = engine.align_pairs(
+        r_aa, r_ss, r_aa, r_ss, rpairs,
+        n_db=float(sum(len(s) for s in db.aa_seqs)), n_seqs=len(db),
+        score_filter=edge_null_filter,
+    )
     rlen = np.array([len(a) for a in r_aa])
     rkept = engine.gate(rhits, rlen, rlen)
-    redges = [(h.qidx, h.tidx) for h in rkept]
-    rclusters = greedy_set_cover(len(reps), redges)
+
+    # transitive merge: union-find over gated edges
+    parent = list(range(len(reps)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for h in rkept:
+        ra, rb = find(h.qidx), find(h.tidx)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # deterministic: min wins
+
+    comps: Dict[int, List[int]] = {}
+    for i in range(len(reps)):
+        comps.setdefault(find(i), []).append(i)
 
     final: Dict[int, List[int]] = {}
-    for rrep_local, rmembers_local in rclusters.items():
+    for rrep_local, rmembers_local in comps.items():
         root = reps[rrep_local]
         out = []
         for rl in rmembers_local:

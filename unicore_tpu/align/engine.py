@@ -508,6 +508,7 @@ class AlignmentEngine:
         pairs: Sequence[Tuple[int, int]],
         n_db: Optional[float] = None,
         n_seqs: Optional[int] = None,
+        score_filter=None,
     ) -> List[Hit]:
         """Forward+reverse SW for every (qidx, tidx) pair; returns raw hits
         with score and start/end coordinates (no gating).
@@ -515,7 +516,16 @@ class AlignmentEngine:
         `n_db` / `n_seqs` override the E-value database size; callers
         that align a SUBSET of a database (chunked verification) must
         pass the full-database totals so E-values are invariant to how
-        the work was chunked."""
+        the work was chunked.
+
+        `score_filter(best, qlen_pairs, tlen_pairs, live)` — optional
+        callback invoked once after the forward pass with the per-pair
+        best scores, pair lengths, and the liveness mask; returns a
+        boolean keep-mask folded into the skip set before the reverse
+        pass.  Lets a caller that aligns a chance-dominated population
+        (the cascade's representative round) fit an EMPIRICAL null on
+        the observed batch and gate on it — at zero extra kernel cost
+        (align/cascade.py, stats.fit_empirical_pair_null)."""
         if not pairs:
             return []
         p = self.params
@@ -582,6 +592,12 @@ class AlignmentEngine:
             n_seqs = int(len(tlen_all))
         gs = self._stats()
         skip = pruned.copy()
+        if score_filter is not None:
+            qlen_pairs = np.array([qlen_all[qi] for qi, _ in pairs])
+            tlen_pairs = np.array([tlen_all[ti] for _, ti in pairs])
+            keep = np.asarray(
+                score_filter(best, qlen_pairs, tlen_pairs, ~skip), bool)
+            skip |= ~keep
         cov = p.coverage
         for k, (qi, ti) in enumerate(pairs):
             if skip[k]:

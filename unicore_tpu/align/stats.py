@@ -260,3 +260,70 @@ def calibrate_gapped_lengths(
             "seed": seed,
         }, f)
     return gs
+
+
+# ---------------------------------------------------------------------------
+# empirical pair-score null (fitted on an observed chance-dominated batch)
+# ---------------------------------------------------------------------------
+
+class EmpiricalPairNull:
+    """Per-length-bin Gumbel null fitted on OBSERVED pairwise scores.
+
+    The simulated null (calibrate_gapped_lengths) samples sequences from
+    the model background; whenever the real score population's chance
+    distribution deviates from that background — measured config-4: the
+    mock 3Di's chance pairs score a median of ~400 where the simulated
+    null predicts E~1e-3 at ~half that, i.e. the model tail is optimistic
+    by >10 orders of magnitude — model E-values pass chance edges at any
+    practical threshold.  This is the round-4 canopy lesson (empirically
+    calibrated nulls, cascade._robust_null) applied to gapped SW scores.
+
+    Fit: pairs are binned by ln(sqrt(m*n)) into quantile bins; per bin a
+    Gumbel (loc, scale) comes from the 50/75% score quantiles — robust
+    to a minority of true homolog pairs (config-4 rep round: 0.8%) since
+    both quantiles sit deep inside the chance bulk.  pair_logE returns
+    ln P(chance score >= s) ~ -(s - loc)/scale with (loc, scale)
+    ln-length interpolated.
+    """
+
+    def __init__(self, centers, locs, scales, n_fit):
+        self.centers = np.asarray(centers, np.float64)
+        self.locs = np.asarray(locs, np.float64)
+        self.scales = np.asarray(scales, np.float64)
+        self.n_fit = int(n_fit)
+
+    def pair_logE(self, score, qlen, tlen) -> np.ndarray:
+        lx = 0.5 * (np.log(np.maximum(qlen, 1.0))
+                    + np.log(np.maximum(tlen, 1.0)))
+        loc = np.interp(lx, self.centers, self.locs)
+        sc = np.interp(lx, self.centers, self.scales)
+        return -(np.asarray(score, np.float64) - loc) / sc
+
+
+def fit_empirical_pair_null(
+    scores, qlens, tlens, nbins: int = 12, min_sample: int = 5000,
+):
+    """Fit an EmpiricalPairNull on a chance-dominated score batch, or
+    None when the batch is too small to bin robustly (small fixtures
+    fall back to the simulated-model gate alone)."""
+    scores = np.asarray(scores, np.float64)
+    qlens = np.asarray(qlens, np.float64)
+    tlens = np.asarray(tlens, np.float64)
+    if scores.size < min_sample:
+        return None
+    lx = 0.5 * (np.log(np.maximum(qlens, 1.0)) + np.log(np.maximum(tlens, 1.0)))
+    nb = max(4, min(nbins, scores.size // 2000))
+    edges = np.quantile(lx, np.linspace(0.0, 1.0, nb + 1))
+    centers, locs, scales = [], [], []
+    for b in range(nb):
+        m = (lx >= edges[b]) & ((lx < edges[b + 1]) if b < nb - 1 else (lx <= edges[b + 1]))
+        if m.sum() < 200:
+            continue
+        q50, q75 = np.quantile(scores[m], [0.5, 0.75])
+        sc = max((q75 - q50) / 0.8793, 1e-6)   # Gumbel IQR->scale
+        locs.append(q50 - 0.3665 * sc)          # median = loc + 0.3665*scale
+        scales.append(sc)
+        centers.append(0.5 * (edges[b] + edges[b + 1]))
+    if len(centers) < 2:
+        return None
+    return EmpiricalPairNull(centers, locs, scales, scores.size)

@@ -121,6 +121,39 @@ def init_params(cfg: T5Config, seed: int = 0, dtype=jnp.bfloat16) -> Dict:
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
 
 
+def infer_config(model_dir: Optional[str]) -> Optional[T5Config]:
+    """Geometry from the checkpoint's HF config.json (shipped by every
+    HF T5 checkpoint; absent from gguf dirs, which are fixed-geometry
+    ProstT5-XL).  Lets one engine load any T5 geometry — including the
+    synthetic reduced checkpoints the weights-arrival drill fabricates
+    (scripts/weights_drill.py)."""
+    if not model_dir or not os.path.isdir(model_dir):
+        return None
+    cj = os.path.join(model_dir, "config.json")
+    if not os.path.isfile(cj):
+        return None
+    try:
+        import json
+        with open(cj) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if "d_model" not in d:
+        return None
+    proj = d.get("feed_forward_proj", "relu")
+    gated = bool(d.get("is_gated_act")) or str(proj).startswith("gated")
+    return T5Config(
+        d_model=int(d.get("d_model", 1024)),
+        d_kv=int(d.get("d_kv", 128)),
+        n_heads=int(d.get("num_heads", 32)),
+        d_ff=int(d.get("d_ff", 16384)),
+        n_layers=int(d.get("num_layers", 24)),
+        rel_buckets=int(d.get("relative_attention_num_buckets", 32)),
+        rel_max_dist=int(d.get("relative_attention_max_distance", 128)),
+        ff="gated-gelu" if gated else "relu",
+    )
+
+
 def load_params(model_dir: str, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
     """Load from an HF ProstT5 checkpoint dir or our own .npz export.
 
@@ -393,7 +426,7 @@ class ProstT5Engine:
         # createdb.rs:93-95 — windowing keeps them)
         self.max_window = max_window
         self.overlap = overlap
-        self.cfg = cfg or T5Config()
+        self.cfg = cfg or infer_config(model_dir) or T5Config()
         self.params = None
         self.loaded_pretrained = False
         if model_dir and os.path.isdir(model_dir):

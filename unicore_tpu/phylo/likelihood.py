@@ -737,29 +737,29 @@ def _site_loglik(
 
 @functools.partial(jax.jit, static_argnames=("n_taxa",))
 def _clv_cache_impl(children, blens, tips, eigvals, U, Uinv, rates, n_taxa):
-    """Full postorder CLV pass returning (buf, logscale) for reuse."""
+    """Full postorder CLV pass returning (buf, logscale) for reuse.
+
+    Same block-diagonal (P, C*20) formulation as _loglik_core (one
+    80-wide MXU matmul per child edge instead of C 20-wide einsums —
+    see the utilization comment there); buf is (2n-1, P, C*20) and
+    logscale (2n-1, P, C), the layout _loglik_incremental_impl reads."""
     n = n_taxa
     C = rates.shape[0]
     P = tips.shape[1]
-    rt = blens[:, None] * rates[None, :]
-    expl = jnp.exp(rt[:, :, None] * eigvals[None, None, :])
-    Pmats = jnp.einsum("ij,ecj,jk->ecik", U, expl, Uinv)
-    Pmats = jnp.clip(Pmats, 1e-12, None)
-    buf = jnp.zeros((2 * n - 1, C, P, 20), tips.dtype)
-    buf = buf.at[:n].set(tips[:, None, :, :])
-    logscale = jnp.zeros((2 * n - 1, C, P), tips.dtype)
+    Pblk = _blockdiag_pmats(blens, rates, eigvals, U, Uinv)
+    buf = jnp.zeros((2 * n - 1, P, C * 20), tips.dtype)
+    buf = buf.at[:n].set(jnp.tile(tips, (1, 1, C)))
+    logscale = jnp.zeros((2 * n - 1, P, C), tips.dtype)
 
     def body(carry, idx):
         buf, logscale = carry
         i = idx + n
         l = children[idx, 0]
         r = children[idx, 1]
-        ml = jnp.einsum("cpk,cjk->cpj", buf[l], Pmats[l])
-        mr = jnp.einsum("cpk,cjk->cpj", buf[r], Pmats[r])
-        clv = ml * mr
-        m = jnp.maximum(jnp.max(clv, axis=-1, keepdims=True), 1e-30)
-        buf = buf.at[i].set(clv / m)
-        logscale = logscale.at[i].set(logscale[l] + logscale[r] + jnp.log(m[..., 0]))
+        clv = (buf[l] @ Pblk[l].T) * (buf[r] @ Pblk[r].T)
+        m = jnp.maximum(jnp.max(clv.reshape(P, C, 20), axis=-1), 1e-30)
+        buf = buf.at[i].set(clv / jnp.repeat(m, 20, axis=1))
+        logscale = logscale.at[i].set(logscale[l] + logscale[r] + jnp.log(m))
         return (buf, logscale), None
 
     (buf, logscale), _ = jax.lax.scan(body, (buf, logscale), jnp.arange(n - 1))
@@ -775,19 +775,27 @@ def _loglik_incremental_impl(
     """Log-likelihood of B NNI candidates by recomputing ONLY each
     candidate's changed-node chain (the edited edge's two nodes plus
     their ancestors), reading every untouched CLV from the base cache.
-    O(depth) CLV updates per candidate instead of O(n)."""
+    O(depth) CLV updates per candidate instead of O(n).
+
+    Block-diagonal (P, C*20) CLVs as in _loglik_core: each chain step
+    is one 80-wide MXU matmul per child edge instead of C 20-wide
+    einsums, matching the base cache's layout (_clv_cache_impl)."""
     C = rates.shape[0]
-    P = base_buf.shape[2]
+    P = base_buf.shape[1]
     D = chain_l.shape[1]
 
-    def pmat(blen):
+    def pmat_blk(blen):
+        """(C*20, C*20) block-diagonal transition matrix for one edge."""
         expl = jnp.exp(blen * rates[:, None] * eigvals[None, :])  # (C, 20)
-        M = jnp.einsum("ij,cj,jk->cik", U, expl, Uinv)
-        return jnp.clip(M, 1e-12, None)
+        M = jnp.clip(jnp.einsum("ij,cj,jk->cik", U, expl, Uinv), 1e-12, None)
+        blk = jnp.zeros((C * 20, C * 20), M.dtype)
+        for c in range(C):
+            blk = blk.at[c * 20:(c + 1) * 20, c * 20:(c + 1) * 20].set(M[c])
+        return blk
 
     def one(ls_, rs_, lb_, rb_, lsrc_, rsrc_):
-        cbuf = jnp.zeros((D, C, P, 20), base_buf.dtype)
-        cls = jnp.zeros((D, C, P), base_buf.dtype)
+        cbuf = jnp.zeros((D, P, C * 20), base_buf.dtype)
+        cls = jnp.zeros((D, P, C), base_buf.dtype)
 
         def step(carry, t):
             cbuf, cls = carry
@@ -797,19 +805,17 @@ def _loglik_incremental_impl(
             sc_l = jnp.where(lsrc >= 0, cls[jnp.maximum(lsrc, 0)], base_logscale[l])
             clv_r = jnp.where(rsrc >= 0, cbuf[jnp.maximum(rsrc, 0)], base_buf[r])
             sc_r = jnp.where(rsrc >= 0, cls[jnp.maximum(rsrc, 0)], base_logscale[r])
-            ml = jnp.einsum("cpk,cjk->cpj", clv_l, pmat(lb_[t]))
-            mr = jnp.einsum("cpk,cjk->cpj", clv_r, pmat(rb_[t]))
-            clv = ml * mr
-            m = jnp.maximum(jnp.max(clv, axis=-1, keepdims=True), 1e-30)
-            cbuf = cbuf.at[t].set(clv / m)
-            cls = cls.at[t].set(sc_l + sc_r + jnp.log(m[..., 0]))
+            clv = (clv_l @ pmat_blk(lb_[t]).T) * (clv_r @ pmat_blk(rb_[t]).T)
+            m = jnp.maximum(jnp.max(clv.reshape(P, C, 20), axis=-1), 1e-30)
+            cbuf = cbuf.at[t].set(clv / jnp.repeat(m, 20, axis=1))
+            cls = cls.at[t].set(sc_l + sc_r + jnp.log(m))
             return (cbuf, cls), None
 
         (cbuf, cls), _ = jax.lax.scan(step, (cbuf, cls), jnp.arange(D))
-        site_cat = jnp.einsum("cpk,k->cp", cbuf[D - 1], pi)
+        site_cat = cbuf[D - 1].reshape(P, C, 20) @ pi        # (P, C)
         log_site_cat = jnp.log(jnp.clip(site_cat, 1e-30, None)) + cls[D - 1]
         log_site = jax.scipy.special.logsumexp(
-            log_site_cat + jnp.log(props)[:, None], axis=0
+            log_site_cat + jnp.log(props)[None, :], axis=1
         )
         return jnp.sum(log_site * weights)
 

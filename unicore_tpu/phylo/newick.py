@@ -110,15 +110,25 @@ def parse_newick(text: str) -> Node:
 # Bipartitions (for support mapping and topology comparison)
 # ---------------------------------------------------------------------------
 
-def bipartitions(root: Node) -> Dict[FrozenSet[str], Node]:
+def bipartitions(root: Node, restrict: FrozenSet[str] = None) -> Dict[FrozenSet[str], Node]:
     """Map non-trivial bipartition (smaller-side leaf set, canonicalized) ->
-    internal node inducing it."""
+    internal node inducing it.
+
+    `restrict`: leaf-name subset — bipartitions of the subtree INDUCED
+    on those leaves (each side intersected; trivial/duplicate splits
+    collapse), the standard construction for comparing trees on
+    non-identical taxon sets (per-gene trees vs a species tree where
+    some species lack the gene, genetree.rs:113-143 analog)."""
     all_leaves = frozenset(l.name for l in root.leaves())
+    if restrict is not None:
+        all_leaves = all_leaves & frozenset(restrict)
     out: Dict[FrozenSet[str], Node] = {}
     for node in root.postorder():
         if node is root or node.is_leaf:
             continue
         below = frozenset(l.name for l in node.leaves())
+        if restrict is not None:
+            below = below & all_leaves
         other = all_leaves - below
         if len(below) < 2 or len(other) < 2:
             continue
