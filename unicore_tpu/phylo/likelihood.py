@@ -320,26 +320,34 @@ def _chunked_loglik(children, blens, tips, weights, mp, n_taxa: int,
     return jax.lax.map(fn, (tipsK, wK)).sum()
 
 
-@functools.partial(jax.jit, static_argnames=("n_taxa", "steps", "pattern_chunk"))
-def _optimize_blens_impl(
-    children, blens0, tips, weights, eigvals, U, Uinv, pi, rates, props,
-    n_taxa, steps, lr=0.05, pattern_chunk=0,
-):
-    """Whole adam loop on log-branch-lengths inside one jit."""
-    import optax
-
-    x0 = jnp.log(jnp.clip(blens0, 1e-7, None))
-    mp = dict(eigvals=eigvals, U=U, Uinv=Uinv, pi=pi, rates=rates, props=props)
-
+def _make_negll(children, tips, weights, mp, n_taxa, pattern_chunk):
     def negll(xx):
         if pattern_chunk:
             return -_chunked_loglik(children, jnp.exp(xx), tips, weights,
                                     mp, n_taxa, pattern_chunk, remat=True)
-        return -_loglik_core(
-            children, jnp.exp(xx), tips, weights, eigvals, U, Uinv, pi,
-            rates, props, n_taxa,
-        )
+        return -_loglik_core(children, jnp.exp(xx), tips, weights,
+                             n_taxa=n_taxa, **mp)
+    return negll
 
+
+@functools.partial(jax.jit, static_argnames=("n_taxa", "steps", "pattern_chunk"))
+def _optimize_blens_seg(
+    children, carry, tips, weights, eigvals, U, Uinv, pi, rates, props,
+    n_taxa, steps, lr=0.05, pattern_chunk=0,
+):
+    """One SEGMENT of the adam loop on log-branch-lengths.
+
+    The loop is split into bounded-step jit calls (carry = (x, adam
+    state, best_x, best_v) threads through) instead of one whole-loop
+    scan: splitting a scan at step boundaries is mathematically
+    identical, and a single device execution of the full 150-step loop
+    at supermatrix scale (C=5, ~90K patterns) exceeded the dev-tunnel
+    worker's per-execution walltime limit and CRASHED the worker
+    (measured round 5: 54 s executions survive, ~80 s kill it)."""
+    import optax
+
+    mp = dict(eigvals=eigvals, U=U, Uinv=Uinv, pi=pi, rates=rates, props=props)
+    negll = _make_negll(children, tips, weights, mp, n_taxa, pattern_chunk)
     opt = optax.adam(lr)
 
     def step(carry, _):
@@ -352,13 +360,56 @@ def _optimize_blens_impl(
         x = optax.apply_updates(x, updates)
         return (x, state, best_x, best_v), None
 
-    init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, jnp.float32))
-    (x, _, best_x, best_v), _ = jax.lax.scan(step, init, None, length=steps)
+    carry, _ = jax.lax.scan(step, carry, None, length=steps)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa", "pattern_chunk"))
+def _optimize_blens_finish(
+    children, carry, tips, weights, eigvals, U, Uinv, pi, rates, props,
+    n_taxa, pattern_chunk=0,
+):
+    mp = dict(eigvals=eigvals, U=U, Uinv=Uinv, pi=pi, rates=rates, props=props)
+    negll = _make_negll(children, tips, weights, mp, n_taxa, pattern_chunk)
+    x, _, best_x, best_v = carry
     v_final = negll(x)
     better = v_final < best_v
     best_x = jnp.where(better, x, best_x)
     best_v = jnp.where(better, v_final, best_v)
     return jnp.exp(best_x), -best_v
+
+
+# steps per device execution in branch-length optimization; bounds the
+# per-dispatch walltime (dev-tunnel worker limit) without changing the
+# math.  Override: UNICORE_TPU_BLEN_SEG.
+BLEN_SEG_STEPS = 50
+
+
+def _optimize_blens_impl(
+    children, blens0, tips, weights, eigvals, U, Uinv, pi, rates, props,
+    n_taxa, steps, lr=0.05, pattern_chunk=0,
+):
+    """Segmented adam loop (see _optimize_blens_seg for why)."""
+    import os
+
+    import optax
+
+    x0 = jnp.log(jnp.clip(blens0, 1e-7, None))
+    carry = (x0, optax.adam(lr).init(x0), x0,
+             jnp.asarray(jnp.inf, jnp.float32))
+    seg = int(os.environ.get("UNICORE_TPU_BLEN_SEG", BLEN_SEG_STEPS))
+    args = (tips, weights, eigvals, U, Uinv, pi, rates, props)
+    done = 0
+    while done < steps:
+        k = min(seg, steps - done)
+        carry = _optimize_blens_seg(
+            children, carry, *args, n_taxa=n_taxa, steps=k, lr=lr,
+            pattern_chunk=pattern_chunk,
+        )
+        done += k
+    return _optimize_blens_finish(
+        children, carry, *args, n_taxa=n_taxa, pattern_chunk=pattern_chunk,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_taxa", "pattern_chunk"))

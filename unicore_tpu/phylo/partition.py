@@ -79,13 +79,16 @@ def _part_loglik_impl(
 
 
 @functools.partial(jax.jit, static_argnames=("n_taxa", "steps"))
-def _part_optimize_impl(
-    children, blens0, tips_s, w_s, eig_s, U_s, Uinv_s, pi_s, rates_s, props_s,
+def _part_optimize_seg(
+    children, carry, tips_s, w_s, eig_s, U_s, Uinv_s, pi_s, rates_s, props_s,
     n_taxa, steps, lr=0.05,
 ):
+    """One bounded SEGMENT of the partitioned adam loop (split exactly
+    like likelihood._optimize_blens_seg — a single whole-loop execution
+    at supermatrix scale exceeded the dev-tunnel worker's per-execution
+    walltime and crashed it; splitting a scan at step boundaries is
+    mathematically identical)."""
     import optax
-
-    x0 = jnp.log(jnp.clip(blens0, 1e-7, None))
 
     def negll(xx):
         return -_part_loglik_impl(
@@ -105,13 +108,51 @@ def _part_optimize_impl(
         x = optax.apply_updates(x, updates)
         return (x, state, best_x, best_v), None
 
-    init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, jnp.float32))
-    (x, _, best_x, best_v), _ = jax.lax.scan(step, init, None, length=steps)
+    carry, _ = jax.lax.scan(step, carry, None, length=steps)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("n_taxa",))
+def _part_optimize_finish(
+    children, carry, tips_s, w_s, eig_s, U_s, Uinv_s, pi_s, rates_s, props_s,
+    n_taxa,
+):
+    def negll(xx):
+        return -_part_loglik_impl(
+            children, jnp.exp(xx), tips_s, w_s, eig_s, U_s, Uinv_s, pi_s,
+            rates_s, props_s, n_taxa,
+        )
+
+    x, _, best_x, best_v = carry
     v_final = negll(x)
     better = v_final < best_v
     best_x = jnp.where(better, x, best_x)
     best_v = jnp.where(better, v_final, best_v)
     return jnp.exp(best_x), -best_v
+
+
+def _part_optimize_impl(
+    children, blens0, tips_s, w_s, eig_s, U_s, Uinv_s, pi_s, rates_s, props_s,
+    n_taxa, steps, lr=0.05,
+):
+    import os
+
+    import optax
+
+    from unicore_tpu.phylo.likelihood import BLEN_SEG_STEPS
+
+    x0 = jnp.log(jnp.clip(blens0, 1e-7, None))
+    carry = (x0, optax.adam(lr).init(x0), x0,
+             jnp.asarray(jnp.inf, jnp.float32))
+    seg = int(os.environ.get("UNICORE_TPU_BLEN_SEG", BLEN_SEG_STEPS))
+    args = (tips_s, w_s, eig_s, U_s, Uinv_s, pi_s, rates_s, props_s)
+    done = 0
+    while done < steps:
+        k = min(seg, steps - done)
+        carry = _part_optimize_seg(
+            children, carry, *args, n_taxa=n_taxa, steps=k, lr=lr)
+        done += k
+    return _part_optimize_finish(children, carry, *args, n_taxa=n_taxa)
 
 
 class PartitionedLikelihoodEngine:
