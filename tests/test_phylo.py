@@ -186,6 +186,44 @@ def test_search_recovers_true_topology():
     assert frozenset({"b1", "b2"}) in bps
 
 
+def test_polish_edges_fixes_low_support_split():
+    """polish_edges: full-data NNI restricted to low-support splits
+    repairs a deliberately perturbed topology (the supermatrix
+    subsample-search stop-short pattern, config-4 round 5) and improves
+    the likelihood; an already-correct tree is left unchanged."""
+    msa = {
+        "a1": "ACDEFGHIKLACDEFGHIKLMNPQRSTVWY",
+        "a2": "ACDEFGHIKLACDEFGHIKLMNPQRSTVWF",
+        "b1": "ACDEFGHIKLWYWYWYWYWYMNPQRSTVWY",
+        "b2": "ACDEFGHIKLWYWYWYWYWYMNPQRSTVWW",
+        "c1": "ACDEFGHIKLKKKKKKKKKKMNPQRSTVWY",
+    }
+    names = list(msa.keys())
+    spec = ModelSpec.parse("JTT+F")
+    codes = msa_to_codes(names, [msa[n] for n in names])
+    model = SubstModel.build(spec, empirical_freqs=empirical_frequencies(codes))
+    engine = LikelihoodEngine(names, [msa[n] for n in names], model)
+    search = TreeSearch(engine)
+
+    wrong = parse_newick("((a1:0.1,b1:0.1):0.1,(a2:0.1,b2:0.1):0.1,c1:0.1);")
+    wrong_keys = list(bipartitions(make_root_binary(wrong)).keys())
+    fixed, ll, moved = search.polish_edges(wrong, engine, wrong_keys,
+                                           blen_steps=60, max_rounds=6)
+    assert moved
+    bps = set(bipartitions(unroot(fixed)).keys())
+    assert frozenset({"a1", "a2"}) in bps
+    assert frozenset({"b1", "b2"}) in bps
+
+    # correct tree + its splits as "low": no improving move, unchanged
+    good = parse_newick("((a1:0.1,a2:0.1):0.1,(b1:0.1,b2:0.1):0.1,c1:0.1);")
+    good_keys = list(bipartitions(make_root_binary(good)).keys())
+    same, ll2, moved2 = search.polish_edges(good, engine, good_keys,
+                                            blen_steps=60, max_rounds=3)
+    assert not moved2
+    assert set(bipartitions(unroot(same)).keys()) == \
+        set(bipartitions(unroot(good)).keys())
+
+
 def test_bootstrap_supports_not_saturated():
     """Weak-signal splits must NOT all get 100% support: the enriched
     RELL candidate set (random NNI walks) lets trivial splits lose
@@ -247,7 +285,11 @@ def test_incremental_nni_matches_full_eval():
     blens = np.maximum(blens, 0.02)
 
     moves = nni_moves_arrays(children, eng.n)
-    assert len(moves) == 2 * (eng.n - 2)  # 2 per internal non-root node
+    # 2 per internal non-root node, + 2 root-edge rearrangements when
+    # both root children are internal
+    L, R = children[eng.n - 2]
+    root_extra = 2 if (L >= eng.n and R >= eng.n) else 0
+    assert len(moves) == 2 * (eng.n - 2) + root_extra
     inc = eng.loglik_nni_moves(children, blens, moves)
     for m, ll_inc in zip(moves, inc):
         cand = apply_nni_move(children, m)

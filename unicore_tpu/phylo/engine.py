@@ -155,6 +155,21 @@ class TreeEngine:
         # bootstrap supports
         if n_boot and len(names) >= 4:
             best_tree = self._bootstrap(engine, best_tree, n_boot, seed)
+            # low-support full-data NNI polish: at supermatrix scale the
+            # subsampled topology search can stop short of splits the
+            # FULL data supports (measured config-4: the mis-inferred
+            # splits carried UFBoot support 0.0).  Re-bootstrap when the
+            # topology changes so reported supports match the final tree.
+            from unicore_tpu.phylo.newick import bipartitions as _bips
+            low = [k for k, nd in _bips(best_tree).items()
+                   if nd.support is not None and nd.support < 60.0]
+            if low:
+                polished, pll, moved = search.polish_edges(
+                    best_tree, engine, low, blen_steps=blen_steps)
+                if moved:
+                    best_tree, best_ll = polished, pll
+                    info["lnL"] = best_ll
+                    best_tree = self._bootstrap(engine, best_tree, n_boot, seed)
 
         return unroot(best_tree), best_ll, info
 

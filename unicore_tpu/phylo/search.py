@@ -35,7 +35,15 @@ def copy_tree(root: Node) -> Node:
 
 
 def nni_neighbors(root: Node) -> List[Node]:
-    """All NNI rearrangements of a binary rooted tree (as new trees)."""
+    """All NNI rearrangements of a binary rooted tree (as new trees).
+
+    Includes the ROOT-EDGE rearrangements: for the unrooted edge the
+    root sits on (subtrees A,B | C,D around it), swapping a child of one
+    root child with the ENTIRE other root child is only a re-rooting
+    no-op — the genuine rearrangements swap B with C or D.  Without
+    them the per-round neighborhood is incomplete in a rooting-dependent
+    way (measured round 5: a restricted polish could not remove a split
+    whose edge carried the root, because no candidate rearranged it)."""
     out: List[Node] = []
     # index nodes by postorder position for stable addressing in copies
     def paths(node: Node, path: Tuple[int, ...]) -> List[Tuple[Tuple[int, ...], Node]]:
@@ -67,6 +75,22 @@ def nni_neighbors(root: Node) -> List[Node]:
             u2.children[sib_idx] = c2
             c2.parent = u2
             out.append(t)
+
+    # root-edge NNIs (both root children internal; 2 distinct unrooted
+    # rearrangements — the other two child pairings are their mirrors)
+    if len(root.children) == 2 and not root.children[0].is_leaf \
+            and not root.children[1].is_leaf:
+        for r_idx in range(2):
+            t = copy_tree(root)
+            L2 = t.children[0]
+            R2 = t.children[1]
+            b2 = L2.children[1]
+            c2 = R2.children[r_idx]
+            L2.children[1] = c2
+            c2.parent = L2
+            R2.children[r_idx] = b2
+            b2.parent = R2
+            out.append(t)
     return out
 
 
@@ -86,6 +110,17 @@ def nni_moves_arrays(children: np.ndarray, n: int):
         sib_idx = 0 if int(children[u - n, 1]) == v else 1
         for child_idx in (0, 1):
             moves.append((v, u, child_idx, sib_idx))
+    # root-edge NNIs (see nni_neighbors): swap a child of root-child L
+    # with a child of root-child R.  The (v, u, child_idx, sib_idx)
+    # encoding generalizes — u is simply the OTHER node of the edge, and
+    # the incremental evaluator's chain [v, u, ancestors-of-u] is the
+    # correct dependency order (ancestors of R = the root, whose
+    # children rows reference both L and R by stable id).
+    root = 2 * n - 2
+    L, R = int(children[root - n, 0]), int(children[root - n, 1])
+    if L >= n and R >= n:
+        moves.append((L, R, 1, 0))
+        moves.append((L, R, 1, 1))
     return moves
 
 
@@ -244,6 +279,67 @@ class TreeSearch:
         final = arrays_to_tree(children, blens, eng.names)
         self._final = (children, blens, ll)
         return final, ll
+
+    # ------------------------------------------------------------------
+    def polish_edges(
+        self, tree: Node, full_eng, low_keys, blen_steps: int = 150,
+        max_rounds: int = 5,
+    ) -> Tuple[Node, float, bool]:
+        """FULL-data NNI polish restricted to the moves that rearrange
+        the given (low-support) bipartitions.
+
+        Rationale (config-4, round 5): at supermatrix scale topology
+        search runs on a weighted pattern subsample; the 3 splits it got
+        wrong all received UFBoot support 0.0 while every true split
+        averaged 99.5 — i.e. the FULL data prefers the true topology and
+        the subsampled climb merely stopped short.  Evaluating the
+        full-data likelihood for the handful of NNI alternatives around
+        low-support edges (fixed branch lengths, pattern-chunked
+        loglik_batch; an improvement at fixed lengths is a lower bound
+        of the re-optimized one) recovers them at a cost of one small
+        candidate batch per round instead of full-neighborhood rounds.
+
+        Splits CREATED by accepted polish moves are themselves unvetted
+        and join the low set, so a wrong replacement can be revisited.
+        Returns (tree, lnL, changed)."""
+        root = make_root_binary(copy_tree(tree))
+        children, blens = tree_to_arrays(root, full_eng.names)
+        blens, ll = full_eng.optimize_blens(children, blens, steps=blen_steps)
+        low = set(low_keys)
+        base0 = set(bipartitions(arrays_to_tree(
+            children, blens, full_eng.names)).keys())
+        changed = False
+        for _ in range(max_rounds):
+            root = arrays_to_tree(children, blens, full_eng.names)
+            base_bips = set(bipartitions(root).keys())
+            targets = low | (base_bips - base0)
+            cands = []
+            for c in nni_neighbors(root):
+                removed = base_bips - set(bipartitions(c).keys())
+                if removed and removed <= targets:
+                    cands.append(c)
+            if not cands:
+                break
+            # rank by SHORT branch-length re-optimization, not fixed
+            # lengths: an NNI move's fixed-blens score misranks when the
+            # rearranged edges need new lengths, and polish candidate
+            # sets are small (2 moves per low edge) so per-candidate
+            # re-opt is affordable
+            arr = [tree_to_arrays(c, full_eng.names) for c in cands]
+            scored = []
+            for cc, bb0 in arr:
+                nb, nll = full_eng.optimize_blens(
+                    cc, bb0, steps=min(blen_steps, 40))
+                scored.append((nll, cc, nb))
+            nll, cb_best, nb_best = max(scored, key=lambda t: t[0])
+            if nll <= ll + 1e-4:
+                break
+            children, blens = cb_best, nb_best
+            blens, ll = full_eng.optimize_blens(
+                children, blens, steps=blen_steps)
+            changed = True
+            msg.println_message(f"  polish: lnL = {ll:.4f}", 4)
+        return arrays_to_tree(children, blens, full_eng.names), ll, changed
 
     # ------------------------------------------------------------------
     def perturb(self, root: Node, n_moves: int = 3) -> Node:
