@@ -20,7 +20,13 @@ def main() -> int:
     import jax
 
     from unicore_tpu.matrices import BLOSUM62, default_3di_matrix
-    from unicore_tpu.ops.sw import build_scores, sw_forward_pallas, ungapped_forward_xla
+    from unicore_tpu.ops.sw import (
+        GAP_EXTEND_INT,
+        GAP_OPEN_INT,
+        build_scores,
+        sw_forward_pallas,
+        ungapped_forward_xla,
+    )
     from unicore_tpu.ops.sw_ref import sw_forward_ref
 
     plat = jax.devices()[0].platform
@@ -52,7 +58,10 @@ def main() -> int:
     scores = build_scores(qa, qs, ta, ts, qlen, tlen, saa, s3d)
     bad = 0
     for b in range(B):
-        rb, ri, rj = sw_forward_ref(scores[b, : qlen[b], : tlen[b]], 28.0, 3.0)
+        # reference MUST use the kernel's shipped default units (100/10
+        # since round 4; hardcoded 28/3 here made the smoke a false alarm)
+        rb, ri, rj = sw_forward_ref(scores[b, : qlen[b], : tlen[b]],
+                                    GAP_OPEN_INT, GAP_EXTEND_INT)
         if best[b] != rb or (rb > 0 and (qe[b], te[b]) != (ri, rj)):
             print(f"MISMATCH pair {b}: got ({best[b]}, {qe[b]}, {te[b]}) "
                   f"want ({rb}, {ri}, {rj})")
