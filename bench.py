@@ -240,7 +240,11 @@ def _augment_pipeline(last_line: str) -> str:
     up from UNICORE_TPU_PIPELINE_WALLS or the default scale workdirs."""
     candidates = [os.environ.get("UNICORE_TPU_PIPELINE_WALLS") or "",
                   "/tmp/scale_r5/phase_walls.json",
-                  "/tmp/scale_pipe5/phase_walls.json"]
+                  "/tmp/scale_pipe5/phase_walls.json",
+                  # committed snapshot of the most recent completed run —
+                  # /tmp workdirs do not survive session recycling
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "phase_walls.json")]
     walls = None
     used = None
     for path in candidates:
@@ -258,13 +262,13 @@ def _augment_pipeline(last_line: str) -> str:
         rec = json.loads(last_line)
     except ValueError:
         return last_line
-    # end-to-end = the easy-core-equivalent stages (report/refdb/search
-    # phases are validation extras, not part of the reference pipeline)
+    # end-to-end = the easy-core-equivalent stages only.  gen is dataset
+    # synthesis; refdb/search/profile_search/gene-tree/tree_iqtree are
+    # validation extras or a SECOND tree schedule — summing them would
+    # double-count tree inference and inflate the pipeline wall.
+    core_exact = {"createdb", "canopy", "verify", "reps", "profile", "tree"}
     core_keys = [k for k in walls
-                 if k.split("_")[0] in
-                 ("gen", "createdb", "canopy", "verify", "reps",
-                  "profile", "tree")
-                 and k != "gen"]  # gen is dataset synthesis, not pipeline
+                 if k in core_exact or k.startswith("verify_")]
     total = sum(walls[k] for k in core_keys)
     meta_path = os.path.join(os.path.dirname(used), "pipeline_meta.json")
     n_species = 100

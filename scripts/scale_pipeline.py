@@ -512,6 +512,10 @@ def main():
         _run_phase(base + ["--phase", "gen"], log, work=work)
     else:
         print("gen: exists, skipping", flush=True)
+    # bench.py reads n_species for the proteomes/hr metric
+    with open(os.path.join(work, "pipeline_meta.json"), "w") as f:
+        json.dump({"n_species": args.species,
+                   "n_families": args.families}, f)
 
     if not chk_done(os.path.join(out, "proteome", "createdb.chk")):
         _run_cli(work, ["createdb", os.path.join(work, "in"),
